@@ -1,0 +1,205 @@
+"""Typed configuration tree for the TPU point-line SLAM engine.
+
+Replaces the reference's two YAML-backed singletons
+(stvo-pl ``src/config.cpp :: Config`` and pl-slam
+``src/slamConfig.cpp :: SlamConfig``) with one dataclass tree that is
+YAML-loadable and keeps the reference's parameter names where they map
+one-to-one, so a user of the reference can carry their tuning over.
+
+Everything that determines an array shape (feature capacities, window
+sizes, iteration counts) is a *static* Python int here: all on-device
+programs are fixed-shape and masked, per the TPU design stance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+def _replace_from_dict(obj, d: Dict[str, Any]):
+    """Recursively apply a (possibly nested) dict onto a dataclass tree."""
+    updates = {}
+    for k, v in d.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key: {k!r} for {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            updates[k] = _replace_from_dict(cur, v)
+        elif isinstance(cur, tuple) and isinstance(v, list):
+            updates[k] = tuple(v)  # YAML has no tuples; keep fields hashable
+        else:
+            updates[k] = v
+    return dataclasses.replace(obj, **updates)
+
+
+@dataclass(frozen=True)
+class PointFeatureConfig:
+    """ORB-style point front-end (reference: config.h ORB/point params)."""
+    has_points: bool = True
+    max_kpts: int = 1024            # static capacity (ref: orb_nfeatures)
+    fast_th: int = 20               # FAST intensity threshold (ref: fast_th)
+    adaptative_fast: bool = True    # lower threshold when too few corners
+    fast_min_th: int = 7
+    orb_nlevels: int = 4            # pyramid levels (ref: orb_nlevels=8; 4 is
+                                    # enough at our per-level capacities)
+    orb_scale_factor: float = 1.2
+    grid_rows: int = 8              # bucketing grid for spatial spread
+    grid_cols: int = 16
+    nms_radius: int = 5             # non-max suppression window radius
+
+
+@dataclass(frozen=True)
+class LineFeatureConfig:
+    """LSD/LBD-style line front-end (reference: config.h line params)."""
+    has_lines: bool = True
+    max_lines: int = 128            # static capacity (ref: lsd_nfeatures=300)
+    tile: int = 16                  # tile size for the tile-fit detector
+    min_line_length: float = 0.025  # fraction of image diagonal (ref: min_line_length)
+    grad_th: float = 5.3            # gradient magnitude threshold (~LSD quant)
+    anisotropy_th: float = 0.85     # structure-tensor anisotropy gate
+    merge_iters: int = 3            # collinear merge passes across tiles
+    merge_ang_th: float = 0.06      # rad, collinearity angle gate for merging
+    merge_dist_th: float = 2.5      # px, perpendicular distance gate
+    merge_gap_th: float = 14.0      # px, endpoint gap gate
+    lbd_bands: int = 9              # LBD number of bands
+    lbd_band_width: int = 7         # LBD band width in px
+    lbd_samples: int = 32           # samples along the segment
+
+
+@dataclass(frozen=True)
+class MatchingConfig:
+    """Stereo + frame-to-frame matching (reference: config.h matching params)."""
+    min_ratio_12_p: float = 0.75    # Lowe ratio for point NN matching
+    min_ratio_12_l: float = 0.9     # ratio for line matching (lines repeat more)
+    max_hamming_p: int = 80         # absolute descriptor distance gate (of 256)
+    max_hamming_l: int = 90
+    min_disp: float = 1.0           # min disparity (ref: min_disp ~ 1)
+    max_disp: float = 192.0         # search range along rectified row
+    stereo_row_tol: float = 1.5     # px, epipolar row tolerance
+    stereo_overlap_th: float = 0.6  # line segment overlap (ref: stereo_overlap_th)
+    line_horiz_th: float = 0.17     # rad, reject near-horizontal lines for stereo
+    f2f_window: float = 96.0        # px, search window around predicted position
+    best_lr_matches: bool = True    # mutual-best check
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Robust GN/LM pose optimizer (reference: stereoFrameHandler.cpp)."""
+    max_iters: int = 8              # GN iterations (ref: max_iters=5)
+    max_iters_ref: int = 8          # refinement iterations after outlier cut
+    min_error: float = 1e-7         # stop criteria (kept for parity; iterations
+    min_error_change: float = 1e-7  # are fixed-count with masked convergence)
+    inlier_k: float = 2.0           # outlier gate: |r| > inlier_k * sigma (ref: inlier_k)
+    homog_th: float = 1e-7          # near-homogeneous-point guard
+    min_features: int = 12          # gate: solution invalid below this (ref: min_features)
+    min_inlier_ratio: float = 0.3
+    max_optim_error: float = 20.0   # gate on residual norm after opt
+    lm_init_lambda: float = 1e-4    # LM fallback damping
+    prior_weight: float = 0.0       # optional constant-velocity prior strength
+
+
+@dataclass(frozen=True)
+class KeyframeConfig:
+    """KF selection (reference: slamConfig min_entropy_ratio/max_kf_*)."""
+    min_entropy_ratio: float = 0.85
+    max_kf_t_dist: float = 5.0      # m
+    max_kf_r_dist: float = 15.0     # deg
+    min_kf_n_frames: int = 1        # at least this many frames between KFs
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Local map + LBA (reference: mapHandler.cpp / slamConfig.cpp)."""
+    window_kfs: int = 6             # LBA sliding window size (local KFs)
+    fixed_kfs: int = 4              # older KFs held fixed but observing
+    max_kfs: int = 512              # global KF capacity
+    max_points: int = 8192          # global map point capacity
+    max_lines: int = 1024           # global map line capacity
+    max_obs_per_kf_p: int = 1024    # = PointFeatureConfig.max_kpts
+    max_obs_per_kf_l: int = 128     # = LineFeatureConfig.max_lines
+    lba_iters: int = 10             # LM iterations in LBA
+    lba_inlier_k: float = 2.0
+    min_lm_obs: int = 3             # cull landmarks with fewer obs (ref: min_lm_obs)
+    max_common_fts_kf: float = 0.9  # redundant-KF cull threshold
+    lambda_init: float = 1e-3       # LM damping init for LBA
+    lambda_factor: float = 3.0
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    """DBoW2-style place recognition + pose graph (reference: slamConfig.cpp)."""
+    enabled: bool = True
+    vocab_k: int = 8                # branching factor
+    vocab_l: int = 4                # depth -> k^l leaves (4096)
+    lc_mat: float = 0.3             # min relative BoW score vs covisible baseline
+    lc_res: float = 1.5             # max mean residual of verification solve
+    lc_unc: float = 0.01            # max covariance gate
+    lc_inl: int = 20                # min inliers in geometric verification
+    lc_trs: float = 1.5             # max translation of the loop correction (m)
+    lc_rot: float = 35.0            # max rotation of the loop correction (deg)
+    min_kf_separation: int = 20     # temporal gap before a KF can be a candidate
+    consistency_window: int = 3     # consecutive-KF temporal consistency votes
+    max_loop_candidates: int = 4
+    pose_graph_iters: int = 12      # GN iterations on the essential graph
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole stereo intrinsics (reference: pinholeStereoCamera.cpp +
+    dataset_params.yaml). Distortion handled by precomputed rectify maps."""
+    width: int = 1241
+    height: int = 376
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    baseline: float = 0.5371657     # meters (KITTI 00 defaults)
+    # optional radial-tangential distortion (EuRoC); zeros = pre-rectified
+    d: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    """Runtime knobs that replace the reference threading flags."""
+    async_mapping: bool = True      # ref: mapHandler multithread flag
+    dtype: str = "float32"
+    bf16_matching: bool = True      # descriptor matmuls in bfloat16 on the MXU
+    profile: bool = False
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Root config. ``SlamConfig()`` gives a sensible KITTI-ish default."""
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    points: PointFeatureConfig = field(default_factory=PointFeatureConfig)
+    lines: LineFeatureConfig = field(default_factory=LineFeatureConfig)
+    matching: MatchingConfig = field(default_factory=MatchingConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    keyframe: KeyframeConfig = field(default_factory=KeyframeConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop: LoopClosureConfig = field(default_factory=LoopClosureConfig)
+    system: SystemConfig = field(default_factory=SystemConfig)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+    def with_updates(self, d: Dict[str, Any]) -> "SlamConfig":
+        return _replace_from_dict(self, d)
+
+    @staticmethod
+    def from_yaml(path: str, base: Optional["SlamConfig"] = None) -> "SlamConfig":
+        import yaml
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        cfg = base if base is not None else SlamConfig()
+        return cfg.with_updates(d)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_yaml(self, path: str) -> None:
+        import yaml
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)

@@ -1,0 +1,246 @@
+"""Synthetic stereo scene generator with exact ground truth.
+
+The reference has no test suite (SURVEY.md §4); its validation is
+end-to-end on EuRoC/KITTI. This machine has no datasets and no network,
+so this module is the test-bed: it builds random 3D worlds of points and
+line segments, camera trajectories, and renders stereo image pairs whose
+feature geometry is known exactly. Every stage of the pipeline (detector,
+matcher, pose solver, BA, loop closure) is validated against it.
+
+Rendering is deliberately simple but feature-detector-friendly:
+  * points  -> anti-aliased bright blobs with a unique high-contrast
+               checkered texture patch around each (so descriptors are
+               discriminative and FAST fires on them);
+  * lines   -> anti-aliased bright segments over a dark background;
+  * backdrop-> low-frequency Perlin-ish noise so detectors see realistic
+               gradients without spurious strong corners.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from plslam_tpu.core import lie
+import jax.numpy as jnp
+
+
+class SyntheticWorld(NamedTuple):
+    points: np.ndarray          # (P, 3) world-frame 3D points
+    line_sp: np.ndarray         # (L, 3) segment start points
+    line_ep: np.ndarray         # (L, 3) segment end points
+    point_tex_seed: np.ndarray  # (P,) per-point texture seeds
+
+
+class SyntheticSequence(NamedTuple):
+    world: SyntheticWorld
+    poses: np.ndarray           # (F, 4, 4) T_world_cam (camera-to-world)
+    images_l: np.ndarray        # (F, H, W) float32 in [0,1]
+    images_r: np.ndarray
+
+
+def make_world(rng: np.random.Generator, n_points: int = 300, n_lines: int = 60,
+               extent: float = 14.0, depth: Tuple[float, float] = (4.0, 30.0)
+               ) -> SyntheticWorld:
+    pts = np.stack([
+        rng.uniform(-extent, extent, n_points),
+        rng.uniform(-extent * 0.4, extent * 0.4, n_points),
+        rng.uniform(depth[0], depth[1], n_points),
+    ], axis=-1)
+    sp = np.stack([
+        rng.uniform(-extent, extent, n_lines),
+        rng.uniform(-extent * 0.4, extent * 0.4, n_lines),
+        rng.uniform(depth[0], depth[1], n_lines),
+    ], axis=-1)
+    d = rng.normal(size=(n_lines, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    length = rng.uniform(1.0, 4.0, (n_lines, 1))
+    ep = sp + d * length
+    seeds = rng.integers(0, 2**31 - 1, n_points)
+    return SyntheticWorld(pts.astype(np.float32), sp.astype(np.float32),
+                          ep.astype(np.float32), seeds)
+
+
+def make_trajectory(n_frames: int, kind: str = "forward", step: float = 0.15,
+                    yaw_rate: float = 0.0, rng: Optional[np.random.Generator] = None
+                    ) -> np.ndarray:
+    """(F, 4, 4) camera-to-world poses. kinds: forward, arc, loop."""
+    poses = np.zeros((n_frames, 4, 4), np.float32)
+    T = np.eye(4, dtype=np.float32)
+    if kind == "loop":
+        # full circle so the last frames revisit the first
+        yaw_rate = 2 * np.pi / max(n_frames - 1, 1)
+    for i in range(n_frames):
+        poses[i] = T
+        jitter = np.zeros(6, np.float32)
+        if rng is not None:
+            jitter = np.concatenate([rng.normal(0, 0.004, 3),
+                                     rng.normal(0, 0.0015, 3)]).astype(np.float32)
+        xi = np.array([0, 0, step, 0, yaw_rate, 0], np.float32) + jitter
+        dT = np.asarray(lie.exp_se3(jnp.asarray(xi)))
+        T = (T @ dT).astype(np.float32)
+    return poses
+
+
+# -- rendering ----------------------------------------------------------------
+
+def _project_np(P_cam: np.ndarray, fx, fy, cx, cy) -> np.ndarray:
+    z = np.maximum(P_cam[..., 2], 1e-6)
+    return np.stack([fx * P_cam[..., 0] / z + cx,
+                     fy * P_cam[..., 1] / z + cy], axis=-1)
+
+
+def _background(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
+    """Smooth low-frequency backdrop in [0.25, 0.45]."""
+    small = rng.uniform(0, 1, (H // 16 + 2, W // 16 + 2)).astype(np.float32)
+    # bilinear upsample by 16
+    ys = np.linspace(0, small.shape[0] - 1.001, H)
+    xs = np.linspace(0, small.shape[1] - 1.001, W)
+    y0 = ys.astype(int); x0 = xs.astype(int)
+    fy = (ys - y0)[:, None]; fx = (xs - x0)[None, :]
+    up = (small[y0][:, x0] * (1 - fy) * (1 - fx)
+          + small[y0][:, x0 + 1] * (1 - fy) * fx
+          + small[y0 + 1][:, x0] * fy * (1 - fx)
+          + small[y0 + 1][:, x0 + 1] * fy * fx)
+    return 0.25 + 0.2 * up
+
+
+_PATCH = 10  # half-size of the texture patch stamped around each point
+
+
+def _point_patches(seeds: np.ndarray) -> np.ndarray:
+    """Deterministic high-contrast texture patch per point, (P, 2S+1, 2S+1)."""
+    P = len(seeds)
+    S = _PATCH
+    out = np.empty((P, 2 * S + 1, 2 * S + 1), np.float32)
+    for i, s in enumerate(seeds):
+        r = np.random.default_rng(int(s))
+        # blocky random texture: strong gradients, unique layout
+        blocks = r.uniform(0, 1, (6, 6)) > 0.5
+        tex = np.kron(blocks, np.ones((4, 4)))[: 2 * S + 1, : 2 * S + 1]
+        out[i] = 0.15 + 0.75 * tex
+    return out
+
+
+def render_frame(world: SyntheticWorld, T_wc: np.ndarray, cam,
+                 rng: np.random.Generator, noise: float = 0.01
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Render a stereo pair for camera-to-world pose T_wc. Returns (imL, imR)."""
+    H, W = cam.height, cam.width
+    fx, fy, cx, cy, b = (float(cam.fx), float(cam.fy), float(cam.cx),
+                         float(cam.cy), float(cam.b))
+    T_cw = np.linalg.inv(T_wc)
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+
+    imgs = []
+    for eye in range(2):
+        off = np.array([0.0, 0.0, 0.0]) if eye == 0 else np.array([-b, 0.0, 0.0])
+        img = _background(np.random.default_rng(12345), H, W).copy()
+
+        # lines first (points stamp over them)
+        sp_c = world.line_sp @ R.T + t
+        ep_c = world.line_ep @ R.T + t
+        vis = (sp_c[:, 2] > 0.5) & (ep_c[:, 2] > 0.5)
+        sp_px = _project_np(sp_c + off, fx, fy, cx, cy)
+        ep_px = _project_np(ep_c + off, fx, fy, cx, cy)
+        for i in np.nonzero(vis)[0]:
+            _draw_segment(img, sp_px[i], ep_px[i], 0.95, width=1.6)
+
+        # points: stamp texture patches
+        P_c = world.points @ R.T + t
+        visp = P_c[:, 2] > 0.5
+        uv = _project_np(P_c + off, fx, fy, cx, cy)
+        patches = _point_patches(world.point_tex_seed)
+        S = _PATCH
+        for i in np.nonzero(visp)[0]:
+            u, v = uv[i]
+            ui, vi = int(round(u)), int(round(v))
+            if not (S <= ui < W - S and S <= vi < H - S):
+                continue
+            img[vi - S:vi + S + 1, ui - S:ui + S + 1] = patches[i]
+
+        if noise > 0:
+            img = img + rng.normal(0, noise, img.shape).astype(np.float32)
+        imgs.append(np.clip(img, 0, 1).astype(np.float32))
+    return imgs[0], imgs[1]
+
+
+def _draw_segment(img: np.ndarray, p0: np.ndarray, p1: np.ndarray,
+                  value: float, width: float = 1.5) -> None:
+    """Anti-aliased segment rasterizer (bounding-box distance test)."""
+    H, W = img.shape
+    x0, y0 = p0; x1, y1 = p1
+    # clip bounding box
+    xmin = int(max(min(x0, x1) - width - 1, 0))
+    xmax = int(min(max(x0, x1) + width + 1, W - 1))
+    ymin = int(max(min(y0, y1) - width - 1, 0))
+    ymax = int(min(max(y0, y1) + width + 1, H - 1))
+    if xmax <= xmin or ymax <= ymin:
+        return
+    ys, xs = np.mgrid[ymin:ymax + 1, xmin:xmax + 1]
+    dx, dy = x1 - x0, y1 - y0
+    L2 = dx * dx + dy * dy
+    if L2 < 1e-9:
+        return
+    s = ((xs - x0) * dx + (ys - y0) * dy) / L2
+    s = np.clip(s, 0, 1)
+    px = x0 + s * dx
+    py = y0 + s * dy
+    d = np.sqrt((xs - px) ** 2 + (ys - py) ** 2)
+    alpha = np.clip(1.0 - (d - width * 0.5), 0, 1)
+    reg = img[ymin:ymax + 1, xmin:xmax + 1]
+    img[ymin:ymax + 1, xmin:xmax + 1] = reg + alpha * (value - reg)
+
+
+def make_sequence(cam, n_frames: int = 12, seed: int = 0, kind: str = "forward",
+                  n_points: int = 300, n_lines: int = 60, noise: float = 0.005,
+                  step: float = 0.15, yaw_rate: float = 0.0) -> SyntheticSequence:
+    rng = np.random.default_rng(seed)
+    world = make_world(rng, n_points=n_points, n_lines=n_lines)
+    poses = make_trajectory(n_frames, kind=kind, step=step, yaw_rate=yaw_rate,
+                            rng=rng)
+    ims_l, ims_r = [], []
+    for i in range(n_frames):
+        il, ir = render_frame(world, poses[i], cam, rng, noise=noise)
+        ims_l.append(il)
+        ims_r.append(ir)
+    return SyntheticSequence(world, poses, np.stack(ims_l), np.stack(ims_r))
+
+
+def exact_stereo_features(world: SyntheticWorld, T_wc: np.ndarray, cam,
+                          margin: float = 12.0):
+    """Ground-truth stereo observations for a pose: the oracle used by
+    matcher/solver tests that bypass the image front-end.
+
+    Returns dict with uv_l, uv_r, disp, P_cam (camera-frame 3D), vis mask
+    for points, and sp/ep pixel + 3D versions for lines.
+    """
+    fx, fy, cx, cy, b = (float(cam.fx), float(cam.fy), float(cam.cx),
+                         float(cam.cy), float(cam.b))
+    H, W = cam.height, cam.width
+    T_cw = np.linalg.inv(T_wc)
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+
+    P_c = world.points @ R.T + t
+    uv_l = _project_np(P_c, fx, fy, cx, cy)
+    disp = fx * b / np.maximum(P_c[:, 2], 1e-6)
+    uv_r = uv_l.copy()
+    uv_r[:, 0] -= disp
+    vis = ((P_c[:, 2] > 1.0)
+           & (uv_l[:, 0] > margin) & (uv_l[:, 0] < W - margin)
+           & (uv_l[:, 1] > margin) & (uv_l[:, 1] < H - margin)
+           & (uv_r[:, 0] > margin) & (disp > 1.0))
+
+    sp_c = world.line_sp @ R.T + t
+    ep_c = world.line_ep @ R.T + t
+    sp_px = _project_np(sp_c, fx, fy, cx, cy)
+    ep_px = _project_np(ep_c, fx, fy, cx, cy)
+    lvis = ((sp_c[:, 2] > 1.0) & (ep_c[:, 2] > 1.0)
+            & (sp_px[:, 0] > margin) & (sp_px[:, 0] < W - margin)
+            & (sp_px[:, 1] > margin) & (sp_px[:, 1] < H - margin)
+            & (ep_px[:, 0] > margin) & (ep_px[:, 0] < W - margin)
+            & (ep_px[:, 1] > margin) & (ep_px[:, 1] < H - margin))
+    return dict(uv_l=uv_l, uv_r=uv_r, disp=disp, P_cam=P_c, vis=vis,
+                line_sp_px=sp_px, line_ep_px=ep_px, line_sp_cam=sp_c,
+                line_ep_cam=ep_c, line_vis=lvis)
