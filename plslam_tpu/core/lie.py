@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# Small-angle switch for the trig series, on theta^2. Must be generous in
+# float32: (1 - cos t) underflows catastrophically already at t ~ 1e-3, so
+# the Taylor branch takes over below t = 0.01 (series error there ~ 1e-9).
+_SMALL_THETA2 = 1e-4
 
 
 def skew(w: jnp.ndarray) -> jnp.ndarray:
@@ -39,7 +43,7 @@ def _sinc_terms(theta2: jnp.ndarray):
     A = sin(t)/t, B = (1-cos(t))/t^2, C = (1-A)/t^2, with Taylor fallbacks
     near t=0. theta2 is theta squared (avoids a sqrt grad singularity).
     """
-    small = theta2 < _EPS
+    small = theta2 < _SMALL_THETA2
     # guard value keeps NaNs out of the unused branch under jit
     t2 = jnp.where(small, 1.0, theta2)
     t = jnp.sqrt(t2)
@@ -137,7 +141,7 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
     A, B, _ = _sinc_terms(theta2)
     W = skew(w)
-    small = theta2 < _EPS
+    small = theta2 < _SMALL_THETA2
     t2 = jnp.where(small, 1.0, theta2)
     coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
                      (1.0 - A / (2.0 * B)) / t2)

@@ -1,0 +1,95 @@
+"""Line front-end: detection, LBD description, stereo matching.
+
+Reference parity: stvo-pl ``src/stereoFrame.cpp`` —
+``detectLineFeatures`` (LSD + LBD) and ``matchStereoLines`` (LBD NN +
+angular consistency + segment y-overlap + per-endpoint disparity by
+intersecting the right line with the left endpoints' epipolar rows,
+then back-projection of both endpoints).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.frontend.features import LineObservations, line_equation
+from plslam_tpu.ops import hamming, lbd, lines
+from plslam_tpu.ops.image import sobel_gradients
+
+
+def detect_and_describe_lines(img: jnp.ndarray, cfg: SlamConfig
+                              ) -> Tuple[lines.Segments, jnp.ndarray]:
+    l = cfg.lines
+    H, W = img.shape
+    diag = (H * H + W * W) ** 0.5
+    segs = lines.detect_segments(
+        img, max_lines=l.max_lines, tile=l.tile,
+        grad_th=l.grad_th / 255.0,
+        merge_iters=max(l.merge_iters * 3, 8),
+        merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
+        min_length=l.min_line_length * diag)
+    gx, gy = sobel_gradients(img)
+    desc = lbd.describe_lines(img, segs.sp, segs.ep, n_bands=l.lbd_bands,
+                              band_width=l.lbd_band_width,
+                              n_samples=l.lbd_samples, gx=gx, gy=gy)
+    return segs, desc
+
+
+def seg_y_overlap(sp_a, ep_a, sp_b, ep_b) -> jnp.ndarray:
+    """(N,2)x(M,2) -> (N, M) vertical overlap ratio of segments (the
+    reference's stereo overlap test works on rectified rows)."""
+    alo = jnp.minimum(sp_a[:, 1], ep_a[:, 1])[:, None]
+    ahi = jnp.maximum(sp_a[:, 1], ep_a[:, 1])[:, None]
+    blo = jnp.minimum(sp_b[:, 1], ep_b[:, 1])[None, :]
+    bhi = jnp.maximum(sp_b[:, 1], ep_b[:, 1])[None, :]
+    inter = jnp.maximum(jnp.minimum(ahi, bhi) - jnp.maximum(alo, blo), 0.0)
+    denom = jnp.maximum(jnp.minimum(ahi - alo, bhi - blo), 1e-6)
+    return inter / denom
+
+
+def match_stereo_lines(segs_l: lines.Segments, desc_l: jnp.ndarray,
+                       segs_r: lines.Segments, desc_r: jnp.ndarray,
+                       cam: StereoCamera, cfg: SlamConfig
+                       ) -> LineObservations:
+    m = cfg.matching
+    dist = hamming.hamming_matrix(desc_l, desc_r, segs_l.valid, segs_r.valid,
+                                  bf16=cfg.system.bf16_matching)
+    dang = jnp.abs(segs_l.angle[:, None] - segs_r.angle[None, :])
+    dang = jnp.minimum(dang, jnp.pi - dang)
+    ov = seg_y_overlap(segs_l.sp, segs_l.ep, segs_r.sp, segs_r.ep)
+    # near-horizontal lines have no stereo information on rectified pairs
+    not_horiz = jnp.abs(
+        jnp.mod(segs_l.angle + jnp.pi / 2, jnp.pi) - jnp.pi / 2
+    ) > m.line_horiz_th
+    mask = (dang < 0.3) & (ov > m.stereo_overlap_th) & not_horiz[:, None]
+    res = hamming.match_nnr(hamming.apply_mask(dist, mask), m.max_hamming_l,
+                            m.min_ratio_12_l, mutual=m.best_lr_matches)
+
+    idx = jnp.maximum(res.idx, 0)
+    # right line equation; intersect with the left endpoints' rows
+    le_r = line_equation(jnp.take(segs_r.sp, idx, axis=0),
+                         jnp.take(segs_r.ep, idx, axis=0))
+    def row_intersect(pt):
+        # u on the right line at row v = pt[:,1]: a u + b v + c = 0
+        a, b, c = le_r[:, 0], le_r[:, 1], le_r[:, 2]
+        safe_a = jnp.where(jnp.abs(a) < 1e-6, 1e-6, a)
+        return -(b * pt[:, 1] + c) / safe_a
+
+    u_rs = row_intersect(segs_l.sp)
+    u_re = row_intersect(segs_l.ep)
+    sdisp = segs_l.sp[:, 0] - u_rs
+    edisp = segs_l.ep[:, 0] - u_re
+    disp_ok = ((sdisp > m.min_disp) & (sdisp < m.max_disp)
+               & (edisp > m.min_disp) & (edisp < m.max_disp))
+    valid = res.valid & segs_l.valid & disp_ok
+
+    sP = cam.back_project(segs_l.sp, jnp.where(valid, sdisp, 1.0))
+    eP = cam.back_project(segs_l.ep, jnp.where(valid, edisp, 1.0))
+    le = line_equation(segs_l.sp, segs_l.ep)
+    return LineObservations(
+        sp=segs_l.sp, ep=segs_l.ep, le=le, angle=segs_l.angle,
+        sdisp=sdisp, edisp=edisp, sP=sP, eP=eP, desc=desc_l,
+        score=segs_l.score, valid=valid)

@@ -52,15 +52,30 @@ def fast_score_map(img: jnp.ndarray, th: float) -> Tuple[jnp.ndarray, jnp.ndarra
     score = max(sum of (tap - c - th)+ , sum of (c - th - tap)+) — the
     standard vectorized surrogate for OpenCV's arc score.
     """
+    corner, _, score = fast_score_map2(img, th, th)
+    return corner, score
+
+
+def fast_score_map2(img: jnp.ndarray, th_hi: float, th_lo: float
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Corner masks at two thresholds from ONE tap stack (the adaptive-
+    threshold pass costs ~1.3x a single pass instead of 2x).
+
+    Returns (corner_hi, corner_lo, score) with score computed at th_lo.
+    """
     taps = _circle_taps(img)
     c = img[None]
-    bright = taps > c + th
-    dark = taps < c - th
-    corner = _contiguous_arc(bright) | _contiguous_arc(dark)
-    sb = jnp.sum(jnp.maximum(taps - c - th, 0.0), axis=0)
-    sd = jnp.sum(jnp.maximum(c - th - taps, 0.0), axis=0)
+    diff = taps - c
+    corner_hi = _contiguous_arc(diff > th_hi) | _contiguous_arc(diff < -th_hi)
+    if th_lo == th_hi:
+        corner_lo = corner_hi
+    else:
+        corner_lo = (_contiguous_arc(diff > th_lo)
+                     | _contiguous_arc(diff < -th_lo))
+    sb = jnp.sum(jnp.maximum(diff - th_lo, 0.0), axis=0)
+    sd = jnp.sum(jnp.maximum(-diff - th_lo, 0.0), axis=0)
     score = jnp.maximum(sb, sd)
-    return corner, score
+    return corner_hi, corner_lo, score
 
 
 def nms(score: jnp.ndarray, radius: int) -> jnp.ndarray:
@@ -121,7 +136,8 @@ def detect_fast(img: jnp.ndarray, k_total: int, th: float, th_min: float,
     low-threshold map is used only when the high one yields fewer than
     k_total/2 corners — a masked select, not a re-run.
     """
-    corner_hi, score = fast_score_map(img, th)
+    corner_hi, corner_lo, score = fast_score_map2(
+        img, th, th_min if adaptive else th)
     H, W = img.shape
     by = (jnp.arange(H) >= border) & (jnp.arange(H) < H - border)
     bx = (jnp.arange(W) >= border) & (jnp.arange(W) < W - border)
@@ -130,7 +146,6 @@ def detect_fast(img: jnp.ndarray, k_total: int, th: float, th_min: float,
 
     s_hi = jnp.where(corner_hi & keep, score, 0.0)
     if adaptive:
-        corner_lo, _ = fast_score_map(img, th_min)
         s_lo = jnp.where(corner_lo & keep, score, 0.0)
         enough = jnp.sum(s_hi > 0) >= (k_total // 2)
         s_final = jnp.where(enough, s_hi, s_lo)

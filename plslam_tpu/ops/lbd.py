@@ -1,0 +1,103 @@
+"""Line Band Descriptor (LBD-style) binary descriptors, batched.
+
+Reference parity: the vendored line_descriptor module's
+``BinaryDescriptor::compute`` (pl-slam 3rdparty) used by
+``stereoFrame.cpp :: detectLineFeatures``.
+
+Like the original LBD: the support region around each segment is split
+into bands parallel to the line; per band, gradients (rotated into the
+line frame) are accumulated into 4 statistics (positive/negative
+parallel/perpendicular mass); the band-statistics matrix is binarized.
+Differences, chosen for the TPU: fixed sample grids (S along x B*3
+across, bilinear gathers from the Sobel maps — no per-pixel region
+walks), and binarization by a fixed seeded set of 256 random pairwise
+comparisons of the 9x4 band-statistic vector (the original's bit layout
+is an OpenCV implementation detail; only internal consistency matters).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from plslam_tpu.ops.image import sobel_gradients, bilinear_sample
+
+N_BITS = 256
+
+
+def _make_pairs(n_features: int) -> np.ndarray:
+    rng = np.random.default_rng(7)
+    pairs = np.empty((N_BITS, 2), np.int32)
+    k = 0
+    # all ordered band-pair comparisons per statistic first (LBD-like),
+    # then random pairs to fill 256
+    nb = n_features // 4
+    for s in range(4):
+        for i in range(nb):
+            for j in range(i + 1, nb):
+                if k < N_BITS:
+                    pairs[k] = (s * nb + i, s * nb + j)
+                    k += 1
+    while k < N_BITS:
+        i, j = rng.integers(0, n_features, 2)
+        if i != j:
+            pairs[k] = (i, j)
+            k += 1
+    return pairs
+
+
+def describe_lines(img: jnp.ndarray, sp: jnp.ndarray, ep: jnp.ndarray,
+                   n_bands: int = 9, band_width: int = 7, n_samples: int = 32,
+                   gx: jnp.ndarray = None, gy: jnp.ndarray = None
+                   ) -> jnp.ndarray:
+    """(L, 2) segment endpoints -> (L, 256) uint8 descriptor bits.
+
+    Pass precomputed Sobel maps (gx, gy) to share them with detection.
+    """
+    if gx is None or gy is None:
+        gx, gy = sobel_gradients(img)
+    L = sp.shape[0]
+    d = ep - sp
+    length = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    dx = d[:, 0] / length
+    dy = d[:, 1] / length
+    nx, ny = -dy, dx                                  # unit normal
+
+    samples_per_band = 3
+    n_across = n_bands * samples_per_band
+    t = jnp.linspace(0.0, 1.0, n_samples)             # along the segment
+    half = 0.5 * n_bands * band_width
+    o = jnp.linspace(-half + 0.5, half - 0.5, n_across)  # across offsets (px)
+
+    # sample grid: (L, n_samples, n_across, 2)
+    base = sp[:, None, :] + d[:, None, :] * t[None, :, None]     # (L, S, 2)
+    off = jnp.stack([nx, ny], axis=-1)[:, None, :] * o[None, :, None]  # (L, A, 2)
+    pts = base[:, :, None, :] + off[:, None, :, :]
+    gxs = bilinear_sample(gx, pts)                    # (L, S, A)
+    gys = bilinear_sample(gy, pts)
+
+    # rotate gradients into the line frame
+    g_par = gxs * dx[:, None, None] + gys * dy[:, None, None]
+    g_perp = gxs * nx[:, None, None] + gys * ny[:, None, None]
+
+    # per-band stats: sum over along-axis and the samples within each band
+    def band_stats(g):
+        pos = jnp.maximum(g, 0.0)
+        neg = jnp.maximum(-g, 0.0)
+        pos = pos.reshape(L, n_samples, n_bands, samples_per_band)
+        neg = neg.reshape(L, n_samples, n_bands, samples_per_band)
+        return (jnp.sum(pos, axis=(1, 3)), jnp.sum(neg, axis=(1, 3)))
+
+    pp, pn = band_stats(g_par)
+    qp, qn = band_stats(g_perp)
+    feats = jnp.concatenate([pp, pn, qp, qn], axis=-1)   # (L, 4 * n_bands)
+    # normalize per line (illumination/length invariance)
+    feats = feats / jnp.maximum(
+        jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-9)
+
+    pairs = jnp.asarray(_make_pairs(4 * n_bands))
+    a = jnp.take(feats, pairs[:, 0], axis=-1)
+    b = jnp.take(feats, pairs[:, 1], axis=-1)
+    return (a < b).astype(jnp.uint8)

@@ -1,0 +1,245 @@
+"""Line-segment detection, TPU-shaped (LSD-equivalent).
+
+Reference parity: the vendored line_descriptor module's ``LSDDetector``
+(pl-slam 3rdparty; scale-space region growing on gradient orientation)
+used by stvo-pl ``src/stereoFrame.cpp :: detectLineFeatures``.
+
+LSD's sequential region-growing cannot map to the TPU. Following
+SURVEY.md §7.2, this is a bounded-recall reformulation with identical
+downstream contract (segments + angles + strengths):
+
+  1. Sobel gradients; per-pixel support weight = |g| where |g| > th.
+  2. Overlapping tiles (size T, stride T/2). For every tile at once
+     (reduce_window sums, no loops): weighted position moments ->
+     principal axis of the support's position covariance = candidate
+     direction; gates on support mass, elongation (sqrt(l_par/l_perp)),
+     perpendicular spread, and gradient-normal coherence (mean gradient
+     must align with the candidate normal, LSD's level-line criterion).
+  3. Collinear merge across tiles: iterative min-label propagation on
+     the tile grid (vectorized connected components where edges exist
+     between neighboring tiles with compatible direction/offset), then
+     per-label moment scatter-adds re-fit the merged line and min/max
+     projections give endpoints.
+  4. Top max_lines by support mass, fixed capacity + valid mask.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from plslam_tpu.ops.image import sobel_gradients
+
+
+class Segments(NamedTuple):
+    sp: jnp.ndarray      # (N, 2) x,y
+    ep: jnp.ndarray      # (N, 2)
+    angle: jnp.ndarray   # (N,) direction angle in [-pi/2, pi/2)
+    score: jnp.ndarray   # (N,) support mass
+    valid: jnp.ndarray   # (N,) bool
+
+
+def _tile_sums(x: jnp.ndarray, tile: int, stride: int) -> jnp.ndarray:
+    """Sum of x over (tile x tile) windows at the given stride."""
+    return lax.reduce_window(x, 0.0, lax.add, (tile, tile), (stride, stride),
+                             "VALID")
+
+
+def _principal_axis(sxx, syy, sxy):
+    """Closed-form eigen-decomposition of [[sxx, sxy], [sxy, syy]].
+
+    Returns (l1, l2, nx, ny) with l1 >= l2 and (nx, ny) the unit
+    eigenvector of l1.
+    """
+    tr = sxx + syy
+    diff = sxx - syy
+    disc = jnp.sqrt(diff * diff + 4.0 * sxy * sxy + 1e-20)
+    l1 = 0.5 * (tr + disc)
+    l2 = 0.5 * (tr - disc)
+    # eigenvector for l1: (sxy, l1 - sxx) unless degenerate
+    vx = jnp.where(jnp.abs(sxy) > 1e-12, sxy, l1 - syy)
+    vy = jnp.where(jnp.abs(sxy) > 1e-12, l1 - sxx, jnp.zeros_like(sxy) + 1e-12)
+    n = jnp.sqrt(vx * vx + vy * vy + 1e-20)
+    return l1, l2, vx / n, vy / n
+
+
+def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
+                    grad_th: float = 0.02, min_support: float = 1.0,
+                    elong_th: float = 2.5, perp_spread_th: float = 2.2,
+                    coherence_th: float = 0.6, merge_iters: int = 8,
+                    merge_ang_th: float = 0.1, merge_dist_th: float = 2.0,
+                    min_length: float = 12.0) -> Segments:
+    """Detect up to ``max_lines`` segments in one (H, W) image."""
+    H, W = img.shape
+    stride = tile // 2
+    gx, gy = sobel_gradients(img)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    w = jnp.where(mag > grad_th, mag, 0.0)
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    # first/second weighted position moments + gradient means, all tiles
+    S = _tile_sums(w, tile, stride)                      # (Th, Tw)
+    Sx = _tile_sums(w * xs, tile, stride)
+    Sy = _tile_sums(w * ys, tile, stride)
+    Sxx = _tile_sums(w * xs * xs, tile, stride)
+    Syy = _tile_sums(w * ys * ys, tile, stride)
+    Sxy = _tile_sums(w * xs * ys, tile, stride)
+    # double-angle gradient-orientation statistics: a thin ridge has
+    # anti-parallel gradients on its two flanks, which agree mod pi —
+    # t = (gx^2 - gy^2, 2 gx gy) / |g| is the magnitude-weighted unit
+    # double-angle vector, so |sum t| / sum |g| measures orientation
+    # coherence without the cancellation.
+    mag_safe = jnp.maximum(mag, 1e-9)
+    D2x = _tile_sums(jnp.where(w > 0, (gx * gx - gy * gy) / mag_safe, 0.0),
+                     tile, stride)
+    D2y = _tile_sums(jnp.where(w > 0, 2.0 * gx * gy / mag_safe, 0.0),
+                     tile, stride)
+
+    Th, Tw = S.shape
+    S_safe = jnp.maximum(S, 1e-6)
+    cx = Sx / S_safe
+    cy = Sy / S_safe
+    cxx = Sxx / S_safe - cx * cx
+    cyy = Syy / S_safe - cy * cy
+    cxy = Sxy / S_safe - cx * cy
+    l1, l2, dx, dy = _principal_axis(cxx, cyy, cxy)
+    l1 = jnp.maximum(l1, 0.0)
+    l2 = jnp.maximum(l2, 0.0)
+
+    elong = jnp.sqrt(l1 / jnp.maximum(l2, 1e-4))
+    perp_spread = jnp.sqrt(l2)
+    # orientation coherence (mod pi) and alignment of the dominant
+    # gradient orientation with the candidate normal: the double angle of
+    # the normal is (nx, ny) doubled -> (nx^2 - ny^2, 2 nx ny) with
+    # (nx, ny) = (-dy, dx).
+    coher = jnp.sqrt(D2x * D2x + D2y * D2y) / S_safe
+    nx, ny = -dy, dx
+    n2x = nx * nx - ny * ny
+    n2y = 2.0 * nx * ny
+    align = (D2x * n2x + D2y * n2y) / jnp.maximum(
+        jnp.sqrt(D2x * D2x + D2y * D2y), 1e-6)
+    tile_ok = ((S > min_support * tile)
+               & (elong > elong_th)
+               & (perp_spread < perp_spread_th)
+               & (coher > coherence_th)
+               & (align > coherence_th))
+
+    # canonical direction (dx > 0 hemisphere) so collinear tiles agree
+    flip = dx < 0
+    dx = jnp.where(flip, -dx, dx)
+    dy = jnp.where(flip, -dy, dy)
+    angle = jnp.arctan2(dy, dx)                          # [-pi/2, pi/2]
+
+    # ---- collinear connected components over the tile grid --------------
+    # labels start as flat tile index; propagate min label along links to
+    # the 8 neighbors that are compatible (both valid, similar angle,
+    # small perpendicular offset of centroids).
+    idx0 = jnp.arange(Th * Tw, dtype=jnp.int32).reshape(Th, Tw)
+    BIG = jnp.int32(Th * Tw + 7)
+    labels = jnp.where(tile_ok, idx0, BIG)
+
+    def _shift_pad(a, di, dj, fill):
+        out = jnp.full_like(a, fill)
+        src_i = slice(max(di, 0), Th + min(di, 0))
+        dst_i = slice(max(-di, 0), Th + min(-di, 0))
+        src_j = slice(max(dj, 0), Tw + min(dj, 0))
+        dst_j = slice(max(-dj, 0), Tw + min(-dj, 0))
+        return out.at[dst_i, dst_j].set(a[src_i, src_j])
+
+    neigh = [(0, 1), (1, 0), (1, 1), (1, -1)]
+
+    def compatible(di, dj):
+        ok_n = _shift_pad(tile_ok, di, dj, False)
+        ang_n = _shift_pad(angle, di, dj, 0.0)
+        cx_n = _shift_pad(cx, di, dj, 0.0)
+        cy_n = _shift_pad(cy, di, dj, 0.0)
+        dang = jnp.abs(angle - ang_n)
+        dang = jnp.minimum(dang, jnp.pi - dang)
+        # perpendicular offset of the neighbor centroid from our line
+        off = jnp.abs(-dy * (cx_n - cx) + dx * (cy_n - cy))
+        return tile_ok & ok_n & (dang < merge_ang_th) & (off < merge_dist_th)
+
+    comp = {d: compatible(*d) for d in neigh}
+
+    def prop(_, lab):
+        new = lab
+        for (di, dj) in neigh:
+            lab_n = _shift_pad(lab, di, dj, BIG)
+            new = jnp.where(comp[(di, dj)], jnp.minimum(new, lab_n), new)
+            # reverse direction
+            lab_p = _shift_pad(lab, -di, -dj, BIG)
+            ok_rev = _shift_pad(comp[(di, dj)], -di, -dj, False)
+            new = jnp.where(ok_rev, jnp.minimum(new, lab_p), new)
+        # pointer jumping: a label is itself a tile index, so following it
+        # one hop (label <- label[label]) doubles the propagation reach;
+        # merge_iters iterations cover chains of ~2^merge_iters tiles.
+        flatl = new.reshape(-1)
+        tgt = jnp.where(flatl < Th * Tw, flatl, 0)
+        hopped = jnp.where(flatl < Th * Tw,
+                           jnp.minimum(flatl, flatl[tgt]), flatl)
+        return hopped.reshape(Th, Tw)
+
+    labels = lax.fori_loop(0, merge_iters, prop, labels)
+
+    # ---- per-label refit via scatter-adds ------------------------------
+    flat = lambda a: a.reshape(-1)
+    lab = flat(labels)
+    n_slots = Th * Tw + 8
+    valid_t = flat(tile_ok)
+    wS = jnp.where(valid_t, flat(S), 0.0)
+
+    def scat(v):
+        return jnp.zeros((n_slots,), v.dtype).at[lab].add(
+            jnp.where(valid_t, v, 0.0))
+
+    mS = scat(flat(S))
+    mSx = scat(flat(Sx))
+    mSy = scat(flat(Sy))
+    mSxx = scat(flat(Sxx))
+    mSyy = scat(flat(Syy))
+    mSxy = scat(flat(Sxy))
+    mS_safe = jnp.maximum(mS, 1e-6)
+    mcx = mSx / mS_safe
+    mcy = mSy / mS_safe
+    mcxx = mSxx / mS_safe - mcx * mcx
+    mcyy = mSyy / mS_safe - mcy * mcy
+    mcxy = mSxy / mS_safe - mcx * mcy
+    _, _, mdx, mdy = _principal_axis(mcxx, mcyy, mcxy)
+
+    # endpoints: min/max projection of member tile centroids (+- their own
+    # half-extent along the merged direction)
+    half_ext = jnp.sqrt(jnp.maximum(12.0 * l1, 0.0)) * 0.5   # per tile
+    proj_c = (flat(cx) - mcx[lab]) * mdx[lab] + (flat(cy) - mcy[lab]) * mdy[lab]
+    he = flat(half_ext)
+    INF = jnp.float32(1e9)
+    pmin = jnp.full((n_slots,), INF).at[lab].min(
+        jnp.where(valid_t, proj_c - he, INF))
+    pmax = jnp.full((n_slots,), -INF).at[lab].max(
+        jnp.where(valid_t, proj_c + he, -INF))
+
+    # a label is a real segment iff it is its own root and has support
+    owns = scat(jnp.ones_like(wS))
+    slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
+    root_ok = (mS > 0) & (owns > 0) & (slot_ids < Th * Tw)
+    length = jnp.where(root_ok, pmax - pmin, 0.0)
+    seg_ok = root_ok & (length > min_length)
+
+    sp = jnp.stack([mcx + pmin * mdx, mcy + pmin * mdy], axis=-1)
+    ep = jnp.stack([mcx + pmax * mdx, mcy + pmax * mdy], axis=-1)
+    score = jnp.where(seg_ok, mS, 0.0)
+
+    # top max_lines by support
+    top_s, top_i = lax.top_k(score, max_lines)
+    take = lambda a: jnp.take(a, top_i, axis=0)
+    sp = jnp.clip(take(sp), 0.0, jnp.asarray([W - 1.0, H - 1.0]))
+    ep = jnp.clip(take(ep), 0.0, jnp.asarray([W - 1.0, H - 1.0]))
+    mang = jnp.arctan2(take(mdy), take(mdx))
+    return Segments(sp=sp, ep=ep, angle=mang, score=top_s,
+                    valid=top_s > 0.0)

@@ -8,8 +8,15 @@ is a fixed seeded Gaussian pattern rather than OpenCV's learned
 descriptors from this framework, so only internal consistency and
 discriminability matter.
 
-All K keypoints are described in one fused program: patch gather ->
-moment reduction -> rotated bilinear sampling -> 256 comparisons.
+TPU-shaped implementation (v2, after profiling):
+  * orientation = intensity centroid over a square patch, computed as
+    TWO separable full-image convolutions (m10/m01 moment maps) + a
+    K-scalar gather — no per-keypoint patch extraction at all;
+  * descriptors use OpenCV ORB's own trick of discretizing the angle
+    (32 bins) so the rotated pattern becomes a precomputed integer
+    offset table; all 256 pairs for all K keypoints are ONE flat gather
+    of K x 512 pixels (vs ~3M gathered elements for per-keypoint patch +
+    bilinear sampling, which measured 6x slower on TPU).
 """
 
 from __future__ import annotations
@@ -19,77 +26,99 @@ from typing import Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from plslam_tpu.ops.image import extract_patches
+from plslam_tpu.ops.image import separable_filter2d
 
-PATCH_HALF = 15           # 31x31 patch, ORB standard
+PATCH_HALF = 15           # 31x31 support, ORB standard
 N_BITS = 256
-_PATTERN_RADIUS = 10.0    # keep rotated samples inside the patch (10*sqrt2<15)
+N_POOL = 64               # distinct sample points per keypoint
+N_ANGLE_BINS = 32
+_PATTERN_RADIUS = 10.0    # rotated+rounded samples stay within +-15
 
 
-def _make_pattern() -> np.ndarray:
-    """(256, 2, 2) float32 (pair, point, xy) — seeded Gaussian BRIEF pattern."""
+def _make_pool_and_pairs():
+    """Sample pool (64, 2) xy + (256, 2) pool-index pairs.
+
+    The image gather is the TPU bottleneck (measured), so instead of 512
+    independent sample points (2 per bit), the 256 comparisons draw their
+    endpoints from a shared pool of 64 points — an 8x smaller gather; the
+    pairing happens in registers. Pairs are chosen distinct with distinct
+    endpoints, seeded and fixed.
+    """
     rng = np.random.default_rng(42)
-    pts = rng.normal(0.0, _PATTERN_RADIUS / 2.0, size=(N_BITS, 2, 2))
-    norm = np.linalg.norm(pts, axis=-1, keepdims=True)
-    scale = np.minimum(1.0, _PATTERN_RADIUS / np.maximum(norm, 1e-6))
-    return (pts * scale).astype(np.float32)
+    pool = rng.normal(0.0, _PATTERN_RADIUS / 2.0, size=(N_POOL, 2))
+    norm = np.linalg.norm(pool, axis=-1, keepdims=True)
+    pool = pool * np.minimum(1.0, _PATTERN_RADIUS / np.maximum(norm, 1e-6))
+    pairs = set()
+    out = []
+    while len(out) < N_BITS:
+        i, j = rng.integers(0, N_POOL, 2)
+        if i == j or (i, j) in pairs or (j, i) in pairs:
+            continue
+        pairs.add((i, j))
+        out.append((i, j))
+    return pool.astype(np.float32), np.asarray(out, np.int32)
 
 
-PATTERN = _make_pattern()
-
-# circular mask for the intensity-centroid moments
-_d = np.arange(-PATCH_HALF, PATCH_HALF + 1)
-_yy, _xx = np.meshgrid(_d, _d, indexing="ij")
-_CIRC_MASK = ((_xx ** 2 + _yy ** 2) <= PATCH_HALF ** 2).astype(np.float32)
+POOL, PAIRS = _make_pool_and_pairs()
+PATTERN = POOL  # exported for tests/docs
 
 
-def orientations(patches: jnp.ndarray) -> jnp.ndarray:
-    """(K, 31, 31) patches -> (K,) angle via intensity centroid:
-    theta = atan2(m01, m10) over the circular mask."""
-    m = jnp.asarray(_CIRC_MASK)
-    w = patches * m
-    m10 = jnp.sum(w * jnp.asarray(_xx, jnp.float32), axis=(-1, -2))
-    m01 = jnp.sum(w * jnp.asarray(_yy, jnp.float32), axis=(-1, -2))
-    return jnp.arctan2(m01, m10)
+def _make_rotated_tables() -> np.ndarray:
+    """(BINS, 64, 2) int32 (dy, dx) integer offsets of the rotated pool."""
+    out = np.empty((N_ANGLE_BINS, N_POOL, 2), np.int32)
+    for a in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * a / N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        x = c * POOL[:, 0] - s * POOL[:, 1]
+        y = s * POOL[:, 0] + c * POOL[:, 1]
+        out[a, :, 0] = np.clip(np.round(y), -PATCH_HALF, PATCH_HALF)
+        out[a, :, 1] = np.clip(np.round(x), -PATCH_HALF, PATCH_HALF)
+    return out
 
 
-def _sample_patch_bilinear(patches: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Sample (K, P) locations xy (K, P, 2) in patch-centered coords from
-    (K, S, S) patches."""
-    S = patches.shape[-1]
-    x = jnp.clip(xy[..., 0] + PATCH_HALF, 0.0, S - 1.001)
-    y = jnp.clip(xy[..., 1] + PATCH_HALF, 0.0, S - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    k = jnp.arange(patches.shape[0])[:, None]
-    p00 = patches[k, y0, x0]
-    p01 = patches[k, y0, x0 + 1]
-    p10 = patches[k, y0 + 1, x0]
-    p11 = patches[k, y0 + 1, x0 + 1]
-    return ((p00 * (1 - fx) + p01 * fx) * (1 - fy)
-            + (p10 * (1 - fx) + p11 * fx) * fy)
+_ROT_TABLES = _make_rotated_tables()
+
+_d = np.arange(-PATCH_HALF, PATCH_HALF + 1).astype(np.float32)
+_ONES = np.ones_like(_d)
 
 
-def describe(img: jnp.ndarray, uv: jnp.ndarray,
+def moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-image first-moment maps over the 31x31 square patch:
+    m10(x,y) = sum dx*I, m01(x,y) = sum dy*I — both separable."""
+    m10 = separable_filter2d(img, _d, _ONES)
+    m01 = separable_filter2d(img, _ONES, _d)
+    return m10, m01
+
+
+def orientations_at(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """(K,) intensity-centroid angle at integer-rounded keypoints."""
+    H, W = img.shape
+    m10, m01 = moment_maps(img)
+    u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    return jnp.arctan2(m01[v, u], m10[v, u])
+
+
+def describe(img: jnp.ndarray, uv: jnp.ndarray
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Describe K keypoints on one (blurred) pyramid level.
 
     Returns (desc_bits (K, 256) uint8 in {0,1}, angle (K,)).
     """
-    patches = extract_patches(img, uv, PATCH_HALF)
-    theta = orientations(patches)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    # rotation applied to the pattern: p' = R(theta) p
-    pat = jnp.asarray(PATTERN)                       # (256, 2, 2)
-    px = pat[..., 0][None]                           # (1, 256, 2)
-    py = pat[..., 1][None]
-    rx = c[:, None, None] * px - s[:, None, None] * py   # (K, 256, 2)
-    ry = s[:, None, None] * px + c[:, None, None] * py
-    xy = jnp.stack([rx, ry], axis=-1)                # (K, 256, 2pts, 2)
-    K = uv.shape[0]
-    vals = _sample_patch_bilinear(patches, xy.reshape(K, N_BITS * 2, 2))
-    vals = vals.reshape(K, N_BITS, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)
+    H, W = img.shape
+    theta = orientations_at(img, uv)
+    bins = jnp.mod(jnp.round(theta * (N_ANGLE_BINS / (2.0 * jnp.pi))),
+                   N_ANGLE_BINS).astype(jnp.int32)
+    offs = jnp.asarray(_ROT_TABLES)[bins]            # (K, 64, 2)
+    u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), PATCH_HALF,
+                 W - 1 - PATCH_HALF)
+    v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), PATCH_HALF,
+                 H - 1 - PATCH_HALF)
+    flat_idx = ((v[:, None] + offs[..., 0]) * W + (u[:, None] + offs[..., 1]))
+    pool = jnp.take(img.reshape(-1), flat_idx.reshape(-1), axis=0)
+    pool = pool.reshape(uv.shape[0], N_POOL)         # (K, 64)
+    pairs = jnp.asarray(PAIRS)
+    a = jnp.take(pool, pairs[:, 0], axis=1)          # (K, 256)
+    b = jnp.take(pool, pairs[:, 1], axis=1)
+    bits = (a < b).astype(jnp.uint8)
     return bits, theta

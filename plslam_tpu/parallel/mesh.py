@@ -1,0 +1,53 @@
+"""Device-mesh helpers for the distributed back-end.
+
+The reference has no distributed layer (SURVEY.md §2.3) — this is the
+new, TPU-native scaling story: a (kf, lm) mesh where keyframe blocks
+ride one axis and landmark/residual blocks the other, with XLA
+collectives (psum / all_gather / ppermute) over ICI doing the
+Schur-complement reductions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map as _shard_map
+    _SHMAP_STYLE = "new"
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _SHMAP_STYLE = "old"
+
+
+def _factor_2d(n: int) -> Tuple[int, int]:
+    """Split n devices into the most-square (a, b) grid with a*b = n."""
+    a = int(math.isqrt(n))
+    while n % a:
+        a -= 1
+    return a, n // a
+
+
+def make_mesh(n_devices: int, axes: Sequence[str] = ("kf", "lm")) -> Mesh:
+    devices = jax.devices()[:n_devices]
+    if len(axes) == 1:
+        shape = (n_devices,)
+    elif len(axes) == 2:
+        shape = _factor_2d(n_devices)
+    else:
+        raise ValueError("only 1D/2D meshes supported")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=tuple(axes))
+
+
+def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs):
+    """Version-portable shard_map wrapper."""
+    return _shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def sharding(mesh: Mesh, spec: PartitionSpec) -> NamedSharding:
+    return NamedSharding(mesh, spec)
