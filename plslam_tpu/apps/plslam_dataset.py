@@ -1,0 +1,92 @@
+"""Full SLAM CLI: stereo point-line SLAM with mapping (+ loop closure).
+
+Reference parity: pl-slam ``app/plslam_dataset.cpp`` — wires
+Dataset -> StVO -> MapHandler (-> loop closure), prints per-stage
+timings and KF/landmark/loop events, saves the trajectory, reports ATE
+against ground truth when available.
+
+Usage:
+  python -m plslam_tpu.apps.plslam_dataset <dataset_dir> [options]
+  python -m plslam_tpu.apps.plslam_dataset --synthetic [options]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from plslam_tpu.apps.plstvo_dataset import (build_argparser, load_config,
+                                            open_frames, save_tum)
+
+
+def main(argv=None) -> int:
+    ap = build_argparser(__doc__)
+    ap.add_argument("--no-loops", action="store_true",
+                    help="disable loop closure")
+    ap.add_argument("--sync", action="store_true",
+                    help="synchronous mapping (no mapping thread)")
+    args = ap.parse_args(argv)
+    cfg = load_config(args)
+    if args.sync:
+        cfg = cfg.with_updates({"system": {"async_mapping": False}})
+    if args.no_loops:
+        cfg = cfg.with_updates({"loop": {"enabled": False}})
+    ds = open_frames(args, cfg)
+
+    from plslam_tpu.core.camera import StereoCamera
+    from plslam_tpu.backend.slam_system import PLSLAM
+    from plslam_tpu.utils.evaluation import ate_rmse, rpe
+    from plslam_tpu.utils.timing import StageTimer
+    import jax.numpy as jnp
+
+    cam = StereoCamera.from_config(ds.camera)
+    slam = PLSLAM(cfg, cam)
+    timer = StageTimer()
+
+    n = len(ds)
+    img_l, img_r = ds.frame(0)
+    slam.initialize(img_l, img_r)
+    t_start = time.perf_counter()
+    n_good = 0
+    n_kfs = 1
+    for i in range(1, n):
+        timer.start("io")
+        img_l, img_r = ds.frame(i)
+        timer.stop("io")
+        timer.start("frame")
+        out = slam.process(img_l, img_r)
+        timer.stop("frame", jnp.asarray(out.frame.T_wc))
+        fr = out.frame
+        n_good += int(fr.good)
+        if out.kf_slot is not None:
+            n_kfs += 1
+        if not args.quiet and (i % 10 == 0 or not fr.good):
+            t = fr.T_wc[:3, 3]
+            print(f"[{i:4d}/{n}] good={fr.good} inl={fr.n_inliers:4d} "
+                  f"kf={out.kf_slot is not None} "
+                  f"t=({t[0]:+.2f},{t[1]:+.2f},{t[2]:+.2f})")
+    est = slam.finish()
+    wall = time.perf_counter() - t_start
+
+    n_pts, n_lns = slam.map.n_landmarks()
+    n_loops = 0
+    if slam.loop_closer is not None:
+        n_loops = slam.loop_closer.n_loops_closed
+    print(f"\nPL-SLAM: {n} frames, {n_good}/{n-1} tracked, {n_kfs} KFs, "
+          f"{n_pts} map points, {n_lns} map lines, {n_loops} loops, "
+          f"{(n-1)/wall:.1f} fps (wall)")
+    print("stage timing:", timer.report())
+    if ds.gt_poses is not None:
+        a = ate_rmse(est, ds.gt_poses[:len(est)])
+        t_r, r_r = rpe(est, ds.gt_poses[:len(est)])
+        print(f"ATE RMSE: {a:.4f} m | RPE: {t_r:.4f} m / {np.rad2deg(r_r):.4f} deg")
+    if args.out:
+        save_tum(args.out, est)
+        print("trajectory saved to", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,265 @@
+"""Global map state + keyframe insertion, map matching, triangulation,
+landmark culling — all as functional updates on fixed-capacity arrays.
+
+Reference parity: pl-slam ``src/mapFeatures.cpp`` (MapPoint/MapLine with
+observation lists and representative descriptors), ``src/keyFrame.cpp``
+(KeyFrame records) and the bookkeeping half of ``src/mapHandler.cpp``:
+``addKeyFrame``, ``lookForCommonMatches`` (project local map into the
+new KF and match), landmark triangulation/expansion
+(``expandMapPoints``/``expandMapLines`` roles), ``removeBadMapLandmarks``.
+
+The C++ pointer graph (KeyFrame* / MapPoint* with obs lists) becomes a
+slot-indexed SoA: keyframe slot w observes landmark ``obs_pt_lm[w, k]``
+through feature slot k. That index table IS the sparse observation
+graph, consumed directly by backend.lba.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core import lie
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.frontend.features import LineObservations, PointObservations
+from plslam_tpu.ops import hamming
+
+
+class MapState(NamedTuple):
+    # keyframes
+    kf_pose: jnp.ndarray        # (F, 4, 4) T_w_kf (kf-to-world)
+    kf_valid: jnp.ndarray       # (F,)
+    n_kfs: jnp.ndarray          # () int32 — next slot
+    # map points
+    pt_pos: jnp.ndarray         # (P, 3) world
+    pt_desc: jnp.ndarray        # (P, 256) uint8 representative descriptor
+    pt_valid: jnp.ndarray       # (P,)
+    pt_nobs: jnp.ndarray        # (P,) int32
+    pt_last_kf: jnp.ndarray     # (P,) int32
+    pt_first_kf: jnp.ndarray    # (P,) int32
+    # map lines (3D endpoint pairs)
+    ln_spos: jnp.ndarray        # (M, 3)
+    ln_epos: jnp.ndarray        # (M, 3)
+    ln_desc: jnp.ndarray        # (M, 256) uint8
+    ln_valid: jnp.ndarray
+    ln_nobs: jnp.ndarray
+    ln_last_kf: jnp.ndarray
+    ln_first_kf: jnp.ndarray
+    # per-KF observations (the sparse obs graph, dense-slotted)
+    obs_pt_uv: jnp.ndarray      # (F, K, 2)
+    obs_pt_disp: jnp.ndarray    # (F, K)
+    obs_pt_lm: jnp.ndarray      # (F, K) int32 -> point slot or -1
+    obs_ln_le: jnp.ndarray      # (F, L, 3)
+    obs_ln_lm: jnp.ndarray      # (F, L) int32 -> line slot or -1
+    obs_ln_ends: jnp.ndarray    # (F, L, 6) sp(2) ep(2) sdisp edisp
+    # packed per-KF descriptors (for loop closure)
+    kf_pt_desc: jnp.ndarray     # (F, K, 8) uint32 packed
+    kf_ln_desc: jnp.ndarray     # (F, L, 8) uint32 packed
+
+
+def init_map_state(cfg: SlamConfig) -> MapState:
+    m = cfg.mapping
+    F, P, M = m.max_kfs, m.max_points, m.max_lines
+    K, L = m.max_obs_per_kf_p, m.max_obs_per_kf_l
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (F, 1, 1)),
+        kf_valid=jnp.zeros((F,), bool),
+        n_kfs=jnp.asarray(0, i32),
+        pt_pos=jnp.zeros((P, 3), f32),
+        pt_desc=jnp.zeros((P, 256), jnp.uint8),
+        pt_valid=jnp.zeros((P,), bool),
+        pt_nobs=jnp.zeros((P,), i32),
+        pt_last_kf=jnp.full((P,), -1, i32),
+        pt_first_kf=jnp.full((P,), -1, i32),
+        ln_spos=jnp.zeros((M, 3), f32),
+        ln_epos=jnp.zeros((M, 3), f32),
+        ln_desc=jnp.zeros((M, 256), jnp.uint8),
+        ln_valid=jnp.zeros((M,), bool),
+        ln_nobs=jnp.zeros((M,), i32),
+        ln_last_kf=jnp.full((M,), -1, i32),
+        ln_first_kf=jnp.full((M,), -1, i32),
+        obs_pt_uv=jnp.zeros((F, K, 2), f32),
+        obs_pt_disp=jnp.zeros((F, K), f32),
+        obs_pt_lm=jnp.full((F, K), -1, i32),
+        obs_ln_le=jnp.zeros((F, L, 3), f32),
+        obs_ln_lm=jnp.full((F, L), -1, i32),
+        obs_ln_ends=jnp.zeros((F, L, 6), f32),
+        kf_pt_desc=jnp.zeros((F, K, 8), jnp.uint32),
+        kf_ln_desc=jnp.zeros((F, L, 8), jnp.uint32),
+    )
+
+
+def _allocate_slots(free: jnp.ndarray, want: jnp.ndarray) -> jnp.ndarray:
+    """Map the j-th wanted item to the j-th free slot.
+
+    free: (N,) bool — slot availability. want: (K,) bool — items needing
+    a slot. Returns (K,) int32 slot id or -1 when the pool is exhausted.
+    """
+    order = jnp.argsort(~free)                   # free slots first
+    n_free = jnp.sum(free)
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+    slot = jnp.where(want & (rank < n_free),
+                     order[jnp.clip(rank, 0, free.shape[0] - 1)], -1)
+    return slot.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def add_keyframe(state: MapState, pts: PointObservations,
+                 lns: Optional[LineObservations], T_w_kf: jnp.ndarray,
+                 cam: StereoCamera, cfg: SlamConfig
+                 ) -> Tuple[MapState, dict]:
+    """addKeyFrame + lookForCommonMatches + landmark expansion, fused.
+
+    Writes the KF record, matches existing map landmarks to the new KF's
+    features (projective window + descriptor NN), creates new landmarks
+    from unmatched stereo features, and refreshes representative
+    descriptors / observation counters.
+    """
+    mcfg = cfg.mapping
+    mtch = cfg.matching
+    slot = state.n_kfs
+    T_cw = lie.inverse_se3(T_w_kf)
+
+    # ---- match existing map points into this KF ------------------------
+    uv_pred = cam.project(lie.transform_points(T_cw, state.pt_pos))
+    z_pred = lie.transform_points(T_cw, state.pt_pos)[..., 2]
+    recent = state.pt_last_kf >= slot - mcfg.window_kfs - mcfg.fixed_kfs
+    proj_ok = (state.pt_valid & recent & (z_pred > 0.5)
+               & cam.in_image(uv_pred, margin=-20.0))
+    dist = hamming.hamming_matrix(state.pt_desc, pts.desc, proj_ok, pts.valid,
+                                  bf16=cfg.system.bf16_matching)
+    win = hamming.window_mask(uv_pred, pts.uv, mtch.f2f_window)
+    mres = hamming.match_nnr(hamming.apply_mask(dist, win),
+                             mtch.max_hamming_p, mtch.min_ratio_12_p,
+                             mutual=True)
+    # mres: for each map point -> feature index (or -1)
+    pt_matched = mres.valid                              # (P,)
+    feat_of_pt = jnp.maximum(mres.idx, 0)
+    # inverse view: for each feature -> matched map point (or -1)
+    K = pts.uv.shape[0]
+    scatter_idx = jnp.where(pt_matched, feat_of_pt, K)   # K = dropped
+    feat_lm = jnp.full((K,), -1, jnp.int32).at[scatter_idx].set(
+        jnp.arange(state.pt_pos.shape[0], dtype=jnp.int32), mode="drop")
+
+    # ---- new landmarks from unmatched stereo features ------------------
+    want_new = pts.valid & (feat_lm < 0)
+    new_slot = _allocate_slots(~state.pt_valid, want_new)
+    P_world = lie.transform_points(T_w_kf, pts.P)
+    feat_lm = jnp.where(new_slot >= 0, new_slot, feat_lm)
+
+    ok_new = new_slot >= 0
+    sidx = jnp.where(ok_new, new_slot, state.pt_pos.shape[0])  # drop OOB
+    pt_pos = state.pt_pos.at[sidx].set(P_world, mode="drop")
+    pt_desc = state.pt_desc.at[sidx].set(pts.desc, mode="drop")
+    pt_valid = state.pt_valid.at[sidx].set(True, mode="drop")
+    pt_nobs = state.pt_nobs.at[sidx].set(1, mode="drop")
+    pt_first = state.pt_first_kf.at[sidx].set(slot, mode="drop")
+    pt_last = state.pt_last_kf.at[sidx].set(slot, mode="drop")
+
+    # refresh matched landmarks: nobs, last_kf, representative descriptor
+    midx = jnp.where(pt_matched, jnp.arange(state.pt_pos.shape[0]),
+                     state.pt_pos.shape[0])
+    pt_nobs = pt_nobs.at[midx].add(1, mode="drop")
+    pt_last = pt_last.at[midx].set(slot, mode="drop")
+    pt_desc = pt_desc.at[midx].set(pts.desc[feat_of_pt], mode="drop")
+
+    # ---- lines ---------------------------------------------------------
+    if lns is not None:
+        mid_pred = cam.project(lie.transform_points(
+            T_cw, 0.5 * (state.ln_spos + state.ln_epos)))
+        zmid = lie.transform_points(
+            T_cw, 0.5 * (state.ln_spos + state.ln_epos))[..., 2]
+        lrecent = state.ln_last_kf >= slot - mcfg.window_kfs - mcfg.fixed_kfs
+        lproj_ok = (state.ln_valid & lrecent & (zmid > 0.5)
+                    & cam.in_image(mid_pred, margin=-40.0))
+        ldist = hamming.hamming_matrix(state.ln_desc, lns.desc, lproj_ok,
+                                       lns.valid, bf16=cfg.system.bf16_matching)
+        lwin = hamming.window_mask(mid_pred, 0.5 * (lns.sp + lns.ep),
+                                   mtch.f2f_window)
+        lres = hamming.match_nnr(hamming.apply_mask(ldist, lwin),
+                                 mtch.max_hamming_l, mtch.min_ratio_12_l,
+                                 mutual=True)
+        ln_matched = lres.valid
+        feat_of_ln = jnp.maximum(lres.idx, 0)
+        L = lns.sp.shape[0]
+        lscatter_idx = jnp.where(ln_matched, feat_of_ln, L)
+        lfeat_lm = jnp.full((L,), -1, jnp.int32).at[lscatter_idx].set(
+            jnp.arange(state.ln_spos.shape[0], dtype=jnp.int32), mode="drop")
+        lwant_new = lns.valid & (lfeat_lm < 0)
+        lnew_slot = _allocate_slots(~state.ln_valid, lwant_new)
+        lfeat_lm = jnp.where(lnew_slot >= 0, lnew_slot, lfeat_lm)
+        sP_w = lie.transform_points(T_w_kf, lns.sP)
+        eP_w = lie.transform_points(T_w_kf, lns.eP)
+        lsidx = jnp.where(lnew_slot >= 0, lnew_slot, state.ln_spos.shape[0])
+        ln_spos = state.ln_spos.at[lsidx].set(sP_w, mode="drop")
+        ln_epos = state.ln_epos.at[lsidx].set(eP_w, mode="drop")
+        ln_desc = state.ln_desc.at[lsidx].set(lns.desc, mode="drop")
+        ln_valid = state.ln_valid.at[lsidx].set(True, mode="drop")
+        ln_nobs = state.ln_nobs.at[lsidx].set(1, mode="drop")
+        ln_first = state.ln_first_kf.at[lsidx].set(slot, mode="drop")
+        ln_last = state.ln_last_kf.at[lsidx].set(slot, mode="drop")
+        lmidx = jnp.where(ln_matched, jnp.arange(state.ln_spos.shape[0]),
+                          state.ln_spos.shape[0])
+        ln_nobs = ln_nobs.at[lmidx].add(1, mode="drop")
+        ln_last = ln_last.at[lmidx].set(slot, mode="drop")
+        ln_desc = ln_desc.at[lmidx].set(lns.desc[feat_of_ln], mode="drop")
+        obs_ln_le = state.obs_ln_le.at[slot].set(lns.le)
+        obs_ln_lm = state.obs_ln_lm.at[slot].set(
+            jnp.where(lns.valid, lfeat_lm, -1))
+        obs_ln_ends = state.obs_ln_ends.at[slot].set(
+            jnp.concatenate([lns.sp, lns.ep, lns.sdisp[:, None],
+                             lns.edisp[:, None]], axis=-1))
+        kf_ln_desc = state.kf_ln_desc.at[slot].set(hamming.pack_bits(lns.desc))
+        n_ln_matched = jnp.sum(ln_matched)
+    else:
+        ln_spos, ln_epos = state.ln_spos, state.ln_epos
+        ln_desc, ln_valid = state.ln_desc, state.ln_valid
+        ln_nobs, ln_last, ln_first = (state.ln_nobs, state.ln_last_kf,
+                                      state.ln_first_kf)
+        obs_ln_le, obs_ln_lm = state.obs_ln_le, state.obs_ln_lm
+        obs_ln_ends, kf_ln_desc = state.obs_ln_ends, state.kf_ln_desc
+        n_ln_matched = jnp.asarray(0)
+
+    # ---- write the KF record -------------------------------------------
+    new_state = state._replace(
+        kf_pose=state.kf_pose.at[slot].set(T_w_kf),
+        kf_valid=state.kf_valid.at[slot].set(True),
+        n_kfs=state.n_kfs + 1,
+        pt_pos=pt_pos, pt_desc=pt_desc, pt_valid=pt_valid, pt_nobs=pt_nobs,
+        pt_last_kf=pt_last, pt_first_kf=pt_first,
+        ln_spos=ln_spos, ln_epos=ln_epos, ln_desc=ln_desc, ln_valid=ln_valid,
+        ln_nobs=ln_nobs, ln_last_kf=ln_last, ln_first_kf=ln_first,
+        obs_pt_uv=state.obs_pt_uv.at[slot].set(pts.uv),
+        obs_pt_disp=state.obs_pt_disp.at[slot].set(
+            jnp.where(pts.valid, pts.disp, 0.0)),
+        obs_pt_lm=state.obs_pt_lm.at[slot].set(
+            jnp.where(pts.valid, feat_lm, -1)),
+        obs_ln_le=obs_ln_le, obs_ln_lm=obs_ln_lm, obs_ln_ends=obs_ln_ends,
+        kf_pt_desc=state.kf_pt_desc.at[slot].set(hamming.pack_bits(pts.desc)),
+        kf_ln_desc=kf_ln_desc,
+    )
+    diag = {"n_map_matches": jnp.sum(pt_matched & pts.valid[feat_of_pt]),
+            "n_new_points": jnp.sum(ok_new),
+            "n_ln_matches": n_ln_matched,
+            "kf_slot": slot}
+    return new_state, diag
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cull_landmarks(state: MapState, cfg: SlamConfig) -> MapState:
+    """removeBadMapLandmarks parity: drop landmarks that stopped being
+    observed before reaching min_lm_obs observations."""
+    m = cfg.mapping
+    cur = state.n_kfs - 1
+    grace = 2  # KFs a landmark may stay unobserved while immature
+    bad_pt = (state.pt_valid & (state.pt_nobs < m.min_lm_obs)
+              & (state.pt_last_kf < cur - grace))
+    bad_ln = (state.ln_valid & (state.ln_nobs < m.min_lm_obs)
+              & (state.ln_last_kf < cur - grace))
+    return state._replace(pt_valid=state.pt_valid & ~bad_pt,
+                          ln_valid=state.ln_valid & ~bad_ln)

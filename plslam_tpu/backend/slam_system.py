@@ -1,0 +1,98 @@
+"""Full SLAM system: stereo VO front-end + mapping back-end (+ loop
+closure when enabled).
+
+Reference parity: the wiring in pl-slam ``app/plslam_dataset.cpp`` —
+StVO tracks every frame; on the KF criterion the frame is promoted to a
+KeyFrame and handed to MapHandler (queue when multithreaded); LBA
+corrections re-anchor the odometry. finishSLAM drains the queue and
+emits the final trajectory.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.frontend.stereo_frame import make_extractor
+from plslam_tpu.tracking.frame_handler import FrameResult, StereoVO
+
+
+class SlamFrameResult(NamedTuple):
+    frame: FrameResult
+    kf_slot: Optional[int]
+
+
+class PLSLAM:
+    def __init__(self, cfg: SlamConfig, cam: Optional[StereoCamera] = None,
+                 enable_loops: Optional[bool] = None):
+        self.cfg = cfg
+        self.cam = cam if cam is not None else StereoCamera.from_config(cfg.camera)
+        self.vo = StereoVO(cfg, self.cam,
+                           extract_fn=make_extractor(self.cam, cfg))
+        from plslam_tpu.backend.map_handler import MapHandler
+        self.map = MapHandler(cfg, self.cam)
+        self.enable_loops = (cfg.loop.enabled if enable_loops is None
+                             else enable_loops)
+        self.loop_closer = None
+        if self.enable_loops:
+            from plslam_tpu.loop.loop_closer import LoopCloser
+            self.loop_closer = LoopCloser(cfg, self.cam)
+        # per-frame anchoring: (kf_slot_at_process_time, T_rel_to_that_kf)
+        self._frame_anchor: List[Tuple[int, np.ndarray]] = []
+        self._kf_slot = -1
+        self._T_kf_at_insert = np.eye(4, dtype=np.float32)
+
+    # -- lifecycle -----------------------------------------------------------
+    def initialize(self, img_l: np.ndarray, img_r: np.ndarray) -> SlamFrameResult:
+        fr = self.vo.initialize(img_l, img_r)
+        pts, lns = self.vo.current_features
+        s = self.map.add_keyframe(pts, lns, self.vo.T_wc, run_lba=False)
+        self._kf_slot = 0
+        self._T_kf_at_insert = self.vo.T_wc.copy()
+        self._frame_anchor = [(0, np.eye(4, dtype=np.float32))]
+        if self.loop_closer is not None:
+            self.loop_closer.on_keyframe(self.map, 0)
+        return SlamFrameResult(fr, 0)
+
+    def process(self, img_l: np.ndarray, img_r: np.ndarray) -> SlamFrameResult:
+        fr = self.vo.insert_stereo_pair(img_l, img_r)
+        T_rel = np.linalg.inv(self._T_kf_at_insert) @ fr.T_wc
+        self._frame_anchor.append((self._kf_slot, T_rel.astype(np.float32)))
+        kf_slot = None
+        if fr.is_kf:
+            pts, lns = self.vo.current_features
+            summary = self.map.add_keyframe(pts, lns, fr.T_wc)
+            kf_slot = self._kf_slot + 1
+            self._kf_slot = kf_slot
+            self._T_kf_at_insert = fr.T_wc.copy()
+            if summary is not None:
+                # synchronous mode: apply the LBA correction immediately
+                self._apply_correction(summary.T_w_kf, fr.T_wc)
+            if self.loop_closer is not None:
+                self.map.wait_idle()
+                corrected = self.loop_closer.on_keyframe(self.map, kf_slot)
+                if corrected is not None:
+                    self._apply_correction(corrected, fr.T_wc)
+        return SlamFrameResult(fr, kf_slot)
+
+    def _apply_correction(self, T_corrected: np.ndarray, T_old: np.ndarray):
+        """Re-anchor the odometry after the back-end moved the latest KF."""
+        self.vo.T_wc = np.asarray(T_corrected, np.float32)
+        self.vo.T_kf = self.vo.T_wc.copy()
+        self._T_kf_at_insert = self.vo.T_wc.copy()
+
+    def finish(self) -> np.ndarray:
+        """finishSLAM parity: drain mapping, recompose the final
+        trajectory from corrected KF poses + per-frame relatives."""
+        self.map.wait_idle()
+        kf_poses = self.map.kf_poses()
+        out = []
+        for kf_slot, T_rel in self._frame_anchor:
+            slot = min(kf_slot, len(kf_poses) - 1)
+            out.append(kf_poses[slot] @ T_rel)
+        self.map.close()
+        return np.stack(out)
