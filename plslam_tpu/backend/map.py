@@ -64,7 +64,7 @@ class MapState(NamedTuple):
 def init_map_state(cfg: SlamConfig) -> MapState:
     m = cfg.mapping
     F, P, M = m.max_kfs, m.max_points, m.max_lines
-    K, L = m.max_obs_per_kf_p, m.max_obs_per_kf_l
+    K, L = cfg.points.max_kpts, cfg.lines.max_lines
     f32, i32 = jnp.float32, jnp.int32
     return MapState(
         kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (F, 1, 1)),

@@ -117,8 +117,8 @@ class MappingConfig:
     max_kfs: int = 512              # global KF capacity
     max_points: int = 8192          # global map point capacity
     max_lines: int = 1024           # global map line capacity
-    max_obs_per_kf_p: int = 1024    # = PointFeatureConfig.max_kpts
-    max_obs_per_kf_l: int = 128     # = LineFeatureConfig.max_lines
+    # per-KF observation capacities == the front-end feature capacities
+    # (points.max_kpts / lines.max_lines); derived, not configured
     lba_iters: int = 10             # LM iterations in LBA
     lba_inlier_k: float = 2.0
     min_lm_obs: int = 3             # cull landmarks with fewer obs (ref: min_lm_obs)

@@ -41,18 +41,38 @@ class SyntheticSequence(NamedTuple):
 
 
 def make_world(rng: np.random.Generator, n_points: int = 300, n_lines: int = 60,
-               extent: float = 14.0, depth: Tuple[float, float] = (4.0, 30.0)
-               ) -> SyntheticWorld:
-    pts = np.stack([
-        rng.uniform(-extent, extent, n_points),
-        rng.uniform(-extent * 0.4, extent * 0.4, n_points),
-        rng.uniform(depth[0], depth[1], n_points),
-    ], axis=-1)
-    sp = np.stack([
-        rng.uniform(-extent, extent, n_lines),
-        rng.uniform(-extent * 0.4, extent * 0.4, n_lines),
-        rng.uniform(depth[0], depth[1], n_lines),
-    ], axis=-1)
+               extent: float = 14.0, depth: Tuple[float, float] = (4.0, 30.0),
+               layout: str = "frustum") -> SyntheticWorld:
+    """layout='frustum': points ahead of the initial camera (forward
+    trajectories). layout='ring': full 360-degree annulus around the
+    origin (loop trajectories — the camera turns and must keep seeing
+    structure in every direction)."""
+    if layout == "ring":
+        ang_p = rng.uniform(0, 2 * np.pi, n_points)
+        rad_p = rng.uniform(depth[0], depth[1], n_points)
+        pts = np.stack([
+            rad_p * np.sin(ang_p),
+            rng.uniform(-extent * 0.3, extent * 0.3, n_points),
+            rad_p * np.cos(ang_p),
+        ], axis=-1)
+        ang_l = rng.uniform(0, 2 * np.pi, n_lines)
+        rad_l = rng.uniform(depth[0], depth[1], n_lines)
+        sp = np.stack([
+            rad_l * np.sin(ang_l),
+            rng.uniform(-extent * 0.3, extent * 0.3, n_lines),
+            rad_l * np.cos(ang_l),
+        ], axis=-1)
+    else:
+        pts = np.stack([
+            rng.uniform(-extent, extent, n_points),
+            rng.uniform(-extent * 0.4, extent * 0.4, n_points),
+            rng.uniform(depth[0], depth[1], n_points),
+        ], axis=-1)
+        sp = np.stack([
+            rng.uniform(-extent, extent, n_lines),
+            rng.uniform(-extent * 0.4, extent * 0.4, n_lines),
+            rng.uniform(depth[0], depth[1], n_lines),
+        ], axis=-1)
     d = rng.normal(size=(n_lines, 3))
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     length = rng.uniform(1.0, 4.0, (n_lines, 1))
@@ -197,7 +217,8 @@ def make_sequence(cam, n_frames: int = 12, seed: int = 0, kind: str = "forward",
                   n_points: int = 300, n_lines: int = 60, noise: float = 0.005,
                   step: float = 0.15, yaw_rate: float = 0.0) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
-    world = make_world(rng, n_points=n_points, n_lines=n_lines)
+    world = make_world(rng, n_points=n_points, n_lines=n_lines,
+                       layout="ring" if kind == "loop" else "frustum")
     poses = make_trajectory(n_frames, kind=kind, step=step, yaw_rate=yaw_rate,
                             rng=rng)
     ims_l, ims_r = [], []

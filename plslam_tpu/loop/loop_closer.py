@@ -1,0 +1,207 @@
+"""Loop-closure pipeline: retrieval -> geometric verification ->
+pose-graph optimization -> map correction.
+
+Reference parity: pl-slam ``src/mapHandler.cpp`` loop-closure path —
+``insertKFBowVectorP/L``, ``lookForLoopCandidates``, ``isLoopClosure``
+(BF descriptor matching + the VO robust-GN relative-pose solve with
+inlier/residual/correction gates), ``loopClosureOptimizationEssential
+GraphG2O`` (here: loop.pose_graph GN) and the landmark re-anchoring of
+``loopClosureFuseLandmarks``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core import lie
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.ops import hamming
+from plslam_tpu.loop import vocabulary
+from plslam_tpu.loop.database import (BowDatabase, ConsistencyVoter,
+                                      select_candidates)
+from plslam_tpu.loop.pose_graph import PoseGraph, optimize_pose_graph
+from plslam_tpu.tracking import pose_gn
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def verify_loop_geometry(kf_desc_a, obs_uv_a, obs_disp_a,
+                         kf_desc_b, obs_uv_b,
+                         cam: StereoCamera, cfg: SlamConfig):
+    """isLoopClosure geometric half: BF-match the stored descriptors of
+    candidate KF a and current KF b, robust-GN solve T_ab mapping
+    a-frame 3D points onto b observations."""
+    desc_a = hamming.unpack_bits(kf_desc_a.reshape(-1, 8))
+    desc_b = hamming.unpack_bits(kf_desc_b.reshape(-1, 8))
+    valid_a = obs_disp_a > 0
+    valid_b = jnp.any(obs_uv_b != 0, axis=-1)
+    dist = hamming.hamming_matrix(desc_a, desc_b, valid_a, valid_b,
+                                  bf16=cfg.system.bf16_matching)
+    mres = hamming.match_nnr(dist, cfg.matching.max_hamming_p,
+                             cfg.matching.min_ratio_12_p, mutual=True)
+    idx = jnp.maximum(mres.idx, 0)
+    P_a = cam.back_project(obs_uv_a, jnp.where(valid_a, obs_disp_a, 1.0))
+    uv_b = jnp.take(obs_uv_b, idx, axis=0)
+    terms = pose_gn.PointTerms(P_a, uv_b, mres.valid & valid_a)
+    res = pose_gn.optimize_pose(jnp.eye(4), cam, terms, None, cfg)
+    return res, jnp.sum(mres.valid)
+
+
+@partial(jax.jit, static_argnames=())
+def apply_graph_correction(state, new_poses: jnp.ndarray):
+    """Re-anchor landmarks to the corrected KF poses: each landmark moves
+    with the pose delta of its first observing KF
+    (loopClosureFuseLandmarks re-anchoring half)."""
+    old = state.kf_pose
+    delta = new_poses @ jax.vmap(lie.inverse_se3)(old)      # (F, 4, 4)
+
+    def move(pos, first_kf):
+        d = delta[jnp.maximum(first_kf, 0)]
+        moved = jnp.einsum("n a b, n b -> n a", d[:, :3, :3], pos) + d[:, :3, 3]
+        return jnp.where((first_kf >= 0)[:, None], moved, pos)
+
+    return state._replace(
+        kf_pose=jnp.where(state.kf_valid[:, None, None], new_poses,
+                          state.kf_pose),
+        pt_pos=move(state.pt_pos, state.pt_first_kf),
+        ln_spos=move(state.ln_spos, state.ln_first_kf),
+        ln_epos=move(state.ln_epos, state.ln_first_kf))
+
+
+class LoopEvent(NamedTuple):
+    kf_from: int
+    kf_to: int
+    n_inliers: int
+    residual: float
+    correction_t: float
+    correction_r_deg: float
+    graph_cost0: float
+    graph_cost1: float
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, cam: StereoCamera):
+        self.cfg = cfg
+        self.cam = cam
+        voc_p = vocabulary.default_vocabulary("orb", cfg.loop.vocab_k,
+                                              cfg.loop.vocab_l)
+        voc_l = (vocabulary.default_vocabulary("lbd", cfg.loop.vocab_k,
+                                               cfg.loop.vocab_l)
+                 if cfg.lines.has_lines else None)
+        self.db = BowDatabase(cfg, voc_p, voc_l)
+        self.voter = ConsistencyVoter(cfg.loop.consistency_window)
+        self.odo_edges = []          # (i, j, T_rel np, w)
+        self.loop_edges = []
+        self.events = []
+        self.n_loops_closed = 0
+        self._last_pose = None
+
+    # -- main entry (called by PLSLAM on every new KF) -----------------------
+    def on_keyframe(self, map_handler, slot: int) -> Optional[np.ndarray]:
+        cfg = self.cfg
+        with map_handler._lock:
+            state = map_handler.state
+            desc_p = hamming.unpack_bits(state.kf_pt_desc[slot].reshape(-1, 8))
+            valid_p = state.obs_pt_disp[slot] > 0
+            desc_l = valid_l = None
+            if self.db.bows_l is not None:
+                desc_l = hamming.unpack_bits(
+                    state.kf_ln_desc[slot].reshape(-1, 8))
+                valid_l = state.obs_ln_lm[slot] >= 0
+            pose = np.asarray(state.kf_pose[slot])
+            n_kfs = int(state.n_kfs)
+        self.db.insert(slot, desc_p, valid_p, desc_l, valid_l)
+
+        # odometry edge from the previous KF
+        if self._last_pose is not None:
+            T_rel = np.linalg.inv(self._last_pose) @ pose
+            self.odo_edges.append((slot - 1, slot, T_rel.astype(np.float32), 1.0))
+        self._last_pose = pose
+
+        if slot < cfg.loop.min_kf_separation:
+            return None
+        scores = self.db.query(slot, n_kfs)
+        candidates, baseline = select_candidates(scores, slot, cfg)
+        fired = self.voter.vote(candidates)
+        if fired is None:
+            return None
+        return self._close_loop(map_handler, fired, slot)
+
+    # -- verification + optimization -----------------------------------------
+    def _close_loop(self, map_handler, slot_a: int, slot_b: int
+                    ) -> Optional[np.ndarray]:
+        cfg = self.cfg
+        with map_handler._lock:
+            state = map_handler.state
+            res, n_matches = verify_loop_geometry(
+                state.kf_pt_desc[slot_a], state.obs_pt_uv[slot_a],
+                state.obs_pt_disp[slot_a],
+                state.kf_pt_desc[slot_b], state.obs_pt_uv[slot_b],
+                self.cam, cfg)
+            T_ab = np.asarray(res.T)      # maps a-frame points -> b frame
+            pose_a = np.asarray(state.kf_pose[slot_a])
+            pose_b = np.asarray(state.kf_pose[slot_b])
+
+        # gates (isLoopClosure parity)
+        n_inl = int(res.n_inliers)
+        err = float(res.err)
+        if not bool(res.good) or n_inl < cfg.loop.lc_inl or err > cfg.loop.lc_res:
+            return None
+        # measured relative pose a->b in pose-graph convention:
+        # T_meas = T_a^-1 T_b with T_ab = T_cam_b<-cam_a => T_meas = T_ab^-1
+        T_meas = np.linalg.inv(T_ab).astype(np.float32)
+        # correction vs current odometry estimate
+        T_odo = np.linalg.inv(pose_a) @ pose_b
+        corr = np.linalg.inv(T_meas) @ T_odo
+        t_mag = float(np.linalg.norm(corr[:3, 3]))
+        r_mag = float(np.degrees(np.arccos(
+            np.clip((np.trace(corr[:3, :3]) - 1) / 2, -1, 1))))
+        if t_mag > cfg.loop.lc_trs or r_mag > cfg.loop.lc_rot:
+            return None
+
+        self.loop_edges.append((slot_a, slot_b, T_meas, 2.0))
+        corrected = self._optimize_graph(map_handler)
+        self.n_loops_closed += 1
+        ev = LoopEvent(slot_a, slot_b, n_inl, err, t_mag, r_mag,
+                       self._last_costs[0], self._last_costs[1])
+        self.events.append(ev)
+        return corrected[slot_b] if corrected is not None else None
+
+    def _optimize_graph(self, map_handler) -> Optional[np.ndarray]:
+        cfg = self.cfg
+        F = cfg.mapping.max_kfs
+        E = 4 * F
+        with map_handler._lock:
+            state = map_handler.state
+            poses = state.kf_pose
+            pose_valid = state.kf_valid
+
+        edges = self.odo_edges + self.loop_edges
+        ei = np.full((E,), 0, np.int32)
+        ej = np.full((E,), 0, np.int32)
+        eT = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+        ew = np.zeros((E,), np.float32)
+        for n, (i, j, T, w) in enumerate(edges[:E]):
+            ei[n], ej[n], eT[n], ew[n] = i, j, T, w
+
+        g = PoseGraph(poses=poses, pose_valid=pose_valid,
+                      edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+                      edge_T=jnp.asarray(eT), edge_w=jnp.asarray(ew))
+        new_poses, c0, c1 = optimize_pose_graph(
+            g, iters=cfg.loop.pose_graph_iters)
+        self._last_costs = (float(c0), float(c1))
+        if not np.all(np.isfinite(np.asarray(new_poses))):
+            return None
+        with map_handler._lock:
+            map_handler.state = apply_graph_correction(map_handler.state,
+                                                       new_poses)
+            out = np.asarray(map_handler.state.kf_pose)
+        # refresh cached odometry anchor
+        self._last_pose = out[int(jnp.sum(pose_valid)) - 1] \
+            if bool(jnp.any(pose_valid)) else None
+        return out

@@ -44,8 +44,22 @@ def make_mesh(n_devices: int, axes: Sequence[str] = ("kf", "lm")) -> Mesh:
     return Mesh(dev_array, axis_names=tuple(axes))
 
 
-def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs):
-    """Version-portable shard_map wrapper."""
+def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check: bool = True):
+    """Version-portable shard_map wrapper.
+
+    ``check=False`` disables the static replication checker (needed when
+    outputs are made replicated by collectives like tiled all_gather,
+    which the checker cannot always infer).
+    """
+    if check:
+        return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs)
+    for kw in ("check_vma", "check_rep"):
+        try:
+            return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, **{kw: False})
+        except TypeError:
+            continue
     return _shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 

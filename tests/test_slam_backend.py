@@ -16,7 +16,6 @@ CFG = SlamConfig().with_updates({
     "points": {"max_kpts": 512, "orb_nlevels": 2},
     "lines": {"has_lines": False},
     "mapping": {"max_kfs": 64, "max_points": 2048, "max_lines": 256,
-                "max_obs_per_kf_p": 512, "max_obs_per_kf_l": 128,
                 "window_kfs": 4, "fixed_kfs": 2, "lba_iters": 6},
     "keyframe": {"min_entropy_ratio": 2.0},  # force KF nearly every frame
     "system": {"async_mapping": False},
