@@ -27,6 +27,10 @@ def main(argv=None) -> int:
                     help="disable loop closure")
     ap.add_argument("--sync", action="store_true",
                     help="synchronous mapping (no mapping thread)")
+    ap.add_argument("--viz", default=None, metavar="PNG",
+                    help="render the final 3D scene to this PNG")
+    ap.add_argument("--checkpoint", default=None, metavar="NPZ",
+                    help="save the final map state to this npz")
     args = ap.parse_args(argv)
     cfg = load_config(args)
     if args.sync:
@@ -85,6 +89,17 @@ def main(argv=None) -> int:
     if args.out:
         save_tum(args.out, est)
         print("trajectory saved to", args.out)
+    if args.viz:
+        from plslam_tpu.utils.viz import plot_map_handler
+        gt = ds.gt_poses[:len(est)] if ds.gt_poses is not None else None
+        plot_map_handler(slam.map, path=args.viz, gt_poses=gt,
+                         loop_closer=slam.loop_closer)
+        print("scene rendered to", args.viz)
+    if args.checkpoint:
+        from plslam_tpu.backend.checkpoint import save_map
+        save_map(args.checkpoint, slam.map.state, cfg,
+                 extra={"trajectory": est})
+        print("map checkpoint saved to", args.checkpoint)
     return 0
 
 

@@ -251,6 +251,95 @@ def add_keyframe(state: MapState, pts: PointObservations,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def remove_redundant_kfs(state: MapState, cfg: SlamConfig) -> Tuple[MapState, jnp.ndarray]:
+    """removeRedundantKFs parity: a window KF most of whose landmarks are
+    redundantly observed (>= 4 observers) is retired — its observations
+    detach (obs counters decremented) and it stops being a BA variable.
+    The newest KF and the first KF are never removed. Returns
+    (state, n_removed)."""
+    m = cfg.mapping
+    span = m.window_kfs
+    F = state.kf_pose.shape[0]
+    # candidate slots: inside the local window, excluding the newest
+    slots = jnp.clip(state.n_kfs - 1 - jnp.arange(1, span), 0, F - 1)
+
+    def redundancy(slot):
+        lm = state.obs_pt_lm[slot]
+        ok = lm >= 0
+        nobs = state.pt_nobs[jnp.maximum(lm, 0)]
+        well_obs = ok & (nobs >= 4)
+        frac = jnp.sum(well_obs) / jnp.maximum(jnp.sum(ok), 1)
+        return frac
+
+    fracs = jax.vmap(redundancy)(slots)
+    removable = ((fracs > m.max_common_fts_kf)
+                 & (slots > 0) & state.kf_valid[slots])
+    # remove at most one KF per call (the most redundant) — matches the
+    # incremental behavior of the reference and keeps the update simple
+    best = jnp.argmax(jnp.where(removable, fracs, -1.0))
+    do = jnp.any(removable)
+    slot = slots[best]
+
+    lm = state.obs_pt_lm[slot]
+    dec_idx = jnp.where((lm >= 0) & do, lm, state.pt_pos.shape[0])
+    pt_nobs = state.pt_nobs.at[dec_idx].add(-1, mode="drop")
+    llm = state.obs_ln_lm[slot]
+    ldec = jnp.where((llm >= 0) & do, llm, state.ln_spos.shape[0])
+    ln_nobs = state.ln_nobs.at[ldec].add(-1, mode="drop")
+    new_state = state._replace(
+        kf_valid=state.kf_valid.at[slot].set(
+            jnp.where(do, False, state.kf_valid[slot])),
+        obs_pt_lm=state.obs_pt_lm.at[slot].set(
+            jnp.where(do, jnp.full_like(lm, -1), lm)),
+        obs_ln_lm=state.obs_ln_lm.at[slot].set(
+            jnp.where(do, jnp.full_like(llm, -1), llm)),
+        pt_nobs=pt_nobs, ln_nobs=ln_nobs)
+    return new_state, do.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fuse_loop_landmarks(state: MapState, slot_a: jnp.ndarray,
+                        slot_b: jnp.ndarray, cfg: SlamConfig
+                        ) -> Tuple[MapState, jnp.ndarray]:
+    """loopClosureFuseLandmarks parity (fusion half): after the pose-graph
+    correction, landmarks observed by the two loop KFs that match by
+    descriptor and lie close in 3D are duplicates — merge into the older
+    slot and redirect every observation table entry."""
+    P = state.pt_pos.shape[0]
+    lm_a = state.obs_pt_lm[slot_a]
+    lm_b = state.obs_pt_lm[slot_b]
+    ok_a = lm_a >= 0
+    ok_b = lm_b >= 0
+    desc_a = hamming.unpack_bits(state.kf_pt_desc[slot_a].reshape(-1, 8))
+    desc_b = hamming.unpack_bits(state.kf_pt_desc[slot_b].reshape(-1, 8))
+    dist = hamming.hamming_matrix(desc_a, desc_b, ok_a, ok_b)
+    mres = hamming.match_nnr(dist, cfg.matching.max_hamming_p,
+                             cfg.matching.min_ratio_12_p, mutual=True)
+    idx_b = jnp.maximum(mres.idx, 0)
+    la = jnp.maximum(lm_a, 0)
+    lb = jnp.maximum(lm_b[idx_b], 0)
+    pa = state.pt_pos[la]
+    pb = state.pt_pos[lb]
+    close = jnp.sum((pa - pb) ** 2, axis=-1) < 0.25   # 0.5 m fuse radius
+    fuse = (mres.valid & ok_a & (lm_b[idx_b] >= 0) & close
+            & (la != lb))
+    keep = jnp.minimum(la, lb)
+    dup = jnp.maximum(la, lb)
+
+    remap = jnp.arange(P, dtype=jnp.int32)
+    remap = remap.at[jnp.where(fuse, dup, P)].set(
+        jnp.where(fuse, keep, 0), mode="drop")
+    o = state.obs_pt_lm
+    obs_pt_lm = jnp.where(o >= 0, remap[jnp.maximum(o, 0)], -1)
+    pt_valid = state.pt_valid.at[jnp.where(fuse, dup, P)].set(
+        False, mode="drop")
+    pt_nobs = state.pt_nobs.at[jnp.where(fuse, keep, P)].add(
+        jnp.where(fuse, state.pt_nobs[dup], 0), mode="drop")
+    return state._replace(obs_pt_lm=obs_pt_lm, pt_valid=pt_valid,
+                          pt_nobs=pt_nobs), jnp.sum(fuse)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def cull_landmarks(state: MapState, cfg: SlamConfig) -> MapState:
     """removeBadMapLandmarks parity: drop landmarks that stopped being
     observed before reaching min_lm_obs observations."""

@@ -26,7 +26,7 @@ from plslam_tpu.core import lie
 from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.backend import lba
 from plslam_tpu.backend.map import (MapState, add_keyframe, cull_landmarks,
-                                    init_map_state)
+                                    init_map_state, remove_redundant_kfs)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -136,6 +136,7 @@ class MapHandler:
             c0 = c1 = jnp.asarray(0.0)
             if run_lba_flag:
                 state, c0, c1 = run_window_lba(state, self.cam, self.cfg)
+                state, _ = remove_redundant_kfs(state, self.cfg)
             state = cull_landmarks(state, self.cfg)
             self.state = state
             slot = int(diag["kf_slot"])

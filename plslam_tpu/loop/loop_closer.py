@@ -166,6 +166,12 @@ class LoopCloser:
 
         self.loop_edges.append((slot_a, slot_b, T_meas, 2.0))
         corrected = self._optimize_graph(map_handler)
+        # fuse duplicate landmarks seen by both loop KFs
+        from plslam_tpu.backend.map import fuse_loop_landmarks
+        with map_handler._lock:
+            map_handler.state, n_fused = fuse_loop_landmarks(
+                map_handler.state, jnp.asarray(slot_a), jnp.asarray(slot_b),
+                cfg)
         self.n_loops_closed += 1
         ev = LoopEvent(slot_a, slot_b, n_inl, err, t_mag, r_mag,
                        self._last_costs[0], self._last_costs[1])

@@ -80,6 +80,11 @@ _ROT_TABLES = _make_rotated_tables()
 
 _d = np.arange(-PATCH_HALF, PATCH_HALF + 1).astype(np.float32)
 _ONES = np.ones_like(_d)
+# half-resolution variant: 15-tap kernels on a 2x-downsampled image give
+# the same centroid direction at ~8x less conv work (orientation only
+# needs to be REPEATABLE between views, not pixel-exact)
+_d_h = np.arange(-(PATCH_HALF // 2), PATCH_HALF // 2 + 1).astype(np.float32)
+_ONES_H = np.ones_like(_d_h)
 
 
 def moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -91,11 +96,21 @@ def moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def orientations_at(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """(K,) intensity-centroid angle at integer-rounded keypoints."""
+    """(K,) intensity-centroid angle at integer-rounded keypoints.
+
+    Computed on the 2x-downsampled image with half-size kernels — same
+    centroid direction, fraction of the cost.
+    """
     H, W = img.shape
-    m10, m01 = moment_maps(img)
-    u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
-    v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    small = 0.25 * (img[0:H - H % 2:2, 0:W - W % 2:2]
+                    + img[1:H:2, 0:W - W % 2:2]
+                    + img[0:H - H % 2:2, 1:W:2]
+                    + img[1:H:2, 1:W:2])
+    m10 = separable_filter2d(small, _d_h, _ONES_H)
+    m01 = separable_filter2d(small, _ONES_H, _d_h)
+    Hs, Ws = small.shape
+    u = jnp.clip(jnp.round(uv[:, 0] * 0.5).astype(jnp.int32), 0, Ws - 1)
+    v = jnp.clip(jnp.round(uv[:, 1] * 0.5).astype(jnp.int32), 0, Hs - 1)
     return jnp.arctan2(m01[v, u], m10[v, u])
 
 
