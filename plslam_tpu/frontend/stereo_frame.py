@@ -34,6 +34,15 @@ def extract_stereo_frame(img_l: jnp.ndarray, img_r: jnp.ndarray,
     pts = None
     lns = None
     both = jnp.stack([img_l, img_r])
+    if not cfg.points.has_points:
+        # lines-only configuration (reference: has_points=false): a
+        # zero-capacity point set keeps every downstream shape static
+        z2 = jnp.zeros((0, 2))
+        pts = PointObservations(
+            uv=z2, uv_r=z2, disp=jnp.zeros((0,)), P=jnp.zeros((0, 3)),
+            desc=jnp.zeros((0, 256), jnp.uint8),
+            octave=jnp.zeros((0,), jnp.int32), angle=jnp.zeros((0,)),
+            score=jnp.zeros((0,)), valid=jnp.zeros((0,), bool))
     if cfg.points.has_points:
         uv, desc, octv, ang, sc, val = jax.vmap(
             lambda im: detect_and_describe(im, cfg))(both)

@@ -2,14 +2,21 @@
 
 These replace the OpenCV image plumbing the reference front-end rests on
 (cv::GaussianBlur, cv::resize inside cv::ORB / LSDDetector scale-space,
-Sobel gradients inside LSD). Everything is fixed-shape jax.numpy /
-lax.conv so XLA fuses it; images are (H, W) float32 in [0, 1].
+Sobel gradients inside LSD).
+
+TPU-shaped (v2, after device profiling): every separable filter and
+bilinear resize is executed as a pair of BANDED-MATRIX MATMULS —
+``K_rows @ img @ K_cols^T`` — instead of lax.conv / jax.image.resize.
+Single-channel convs and generic resizes lower to slow VPU/gather code;
+the same math as a dense (H, H) x (H, W) matmul rides the MXU and is
+~50x faster at these sizes. The banded operator matrices are built on
+host (numpy, cached per shape/kernel) and are tiny.
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Tuple
 
 import numpy as np
@@ -24,19 +31,50 @@ def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def separable_filter2d(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray:
+@lru_cache(maxsize=256)
+def _filter_matrix(n: int, kernel_bytes: bytes) -> np.ndarray:
+    """(n, n) banded correlation matrix with edge-replicate boundary."""
+    k = np.frombuffer(kernel_bytes, dtype=np.float32)
+    r = len(k) // 2
+    M = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for j, kv in enumerate(k):
+            src = min(max(i + j - r, 0), n - 1)
+            M[i, src] += kv
+    return M
+
+
+@lru_cache(maxsize=256)
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix (align_corners=False,
+    matching jax.image.resize 'bilinear' sampling)."""
+    M = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        x = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(x))
+        f = x - x0
+        a = min(max(x0, 0), n_in - 1)
+        b = min(max(x0 + 1, 0), n_in - 1)
+        M[i, a] += 1.0 - f
+        M[i, b] += f
+    return M
+
+
+def _apply_rows_cols(img: jnp.ndarray, Mr: np.ndarray, Mc: np.ndarray
+                     ) -> jnp.ndarray:
+    """Mr @ img @ Mc^T with f32 accumulation on the MXU."""
+    out = jnp.dot(jnp.asarray(Mr), img, preferred_element_type=jnp.float32)
+    return jnp.dot(out, jnp.asarray(Mc).T, preferred_element_type=jnp.float32)
+
+
+def separable_filter2d(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray
+                       ) -> jnp.ndarray:
     """Separable 2D correlation with edge replication, (H, W) -> (H, W)."""
-    rx, ry = len(kx) // 2, len(ky) // 2
-    x = img[None, None]  # NCHW
-    x = jnp.pad(x, ((0, 0), (0, 0), (ry, ry), (0, 0)), mode="edge")
-    x = lax.conv_general_dilated(
-        x, jnp.asarray(ky, img.dtype)[None, None, :, None],
-        window_strides=(1, 1), padding="VALID")
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (rx, rx)), mode="edge")
-    x = lax.conv_general_dilated(
-        x, jnp.asarray(kx, img.dtype)[None, None, None, :],
-        window_strides=(1, 1), padding="VALID")
-    return x[0, 0]
+    H, W = img.shape
+    Mr = _filter_matrix(H, np.asarray(ky, np.float32).tobytes())
+    Mc = _filter_matrix(W, np.asarray(kx, np.float32).tobytes())
+    return _apply_rows_cols(img, Mr, Mc)
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
@@ -46,7 +84,10 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
 
 
 def resize_bilinear(img: jnp.ndarray, shape: Tuple[int, int]) -> jnp.ndarray:
-    return jax.image.resize(img, shape, method="bilinear")
+    H, W = img.shape
+    Mr = _resize_matrix(shape[0], H)
+    Mc = _resize_matrix(shape[1], W)
+    return _apply_rows_cols(img, Mr, Mc)
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale_factor: float,

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from plslam_tpu.ops.image import separable_filter2d
@@ -61,6 +62,13 @@ def _make_pool_and_pairs():
 
 POOL, PAIRS = _make_pool_and_pairs()
 PATTERN = POOL  # exported for tests/docs
+
+# (64, 256) selection-difference matrix: bit_j = pool . D[:, j] > 0
+# encodes pool[p0] < pool[p1] as a single MXU matmul
+_PAIR_DIFF = np.zeros((N_POOL, N_BITS), np.float32)
+for _j, (_p0, _p1) in enumerate(PAIRS):
+    _PAIR_DIFF[_p1, _j] = 1.0
+    _PAIR_DIFF[_p0, _j] = -1.0
 
 
 def _make_rotated_tables() -> np.ndarray:
@@ -101,11 +109,9 @@ def orientations_at(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     Computed on the 2x-downsampled image with half-size kernels — same
     centroid direction, fraction of the cost.
     """
+    from plslam_tpu.ops.image import resize_bilinear
     H, W = img.shape
-    small = 0.25 * (img[0:H - H % 2:2, 0:W - W % 2:2]
-                    + img[1:H:2, 0:W - W % 2:2]
-                    + img[0:H - H % 2:2, 1:W:2]
-                    + img[1:H:2, 1:W:2])
+    small = resize_bilinear(img, (H // 2, W // 2))  # matmul resize (MXU)
     m10 = separable_filter2d(small, _d_h, _ONES_H)
     m01 = separable_filter2d(small, _ONES_H, _d_h)
     Hs, Ws = small.shape
@@ -124,7 +130,13 @@ def describe(img: jnp.ndarray, uv: jnp.ndarray
     theta = orientations_at(img, uv)
     bins = jnp.mod(jnp.round(theta * (N_ANGLE_BINS / (2.0 * jnp.pi))),
                    N_ANGLE_BINS).astype(jnp.int32)
-    offs = jnp.asarray(_ROT_TABLES)[bins]            # (K, 64, 2)
+    # rotated offsets via one-hot matmul (gather of the tiny table is a
+    # slow-path gather on TPU; a (K, 32) x (32, 128) matmul is free)
+    onehot = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=jnp.float32)
+    tables = jnp.asarray(_ROT_TABLES.reshape(N_ANGLE_BINS, -1), jnp.float32)
+    offs = jnp.dot(onehot, tables,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    offs = offs.reshape(uv.shape[0], N_POOL, 2)
     u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), PATCH_HALF,
                  W - 1 - PATCH_HALF)
     v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), PATCH_HALF,
@@ -132,8 +144,7 @@ def describe(img: jnp.ndarray, uv: jnp.ndarray
     flat_idx = ((v[:, None] + offs[..., 0]) * W + (u[:, None] + offs[..., 1]))
     pool = jnp.take(img.reshape(-1), flat_idx.reshape(-1), axis=0)
     pool = pool.reshape(uv.shape[0], N_POOL)         # (K, 64)
-    pairs = jnp.asarray(PAIRS)
-    a = jnp.take(pool, pairs[:, 0], axis=1)          # (K, 256)
-    b = jnp.take(pool, pairs[:, 1], axis=1)
-    bits = (a < b).astype(jnp.uint8)
-    return bits, theta
+    # pair comparisons as two selection matmuls on the MXU
+    bits = (jnp.dot(pool, jnp.asarray(_PAIR_DIFF),
+                    preferred_element_type=jnp.float32) > 0)
+    return bits.astype(jnp.uint8), theta

@@ -1,0 +1,112 @@
+"""Chunked stereo VO: many frames per jitted dispatch.
+
+The per-frame driver (tracking.frame_handler.StereoVO) dispatches two
+programs per frame; on deployment rigs where program launch has real
+latency (remote TPU runtimes; measured ~20 ms/dispatch on this one),
+throughput is launch-bound long before the chip is busy. This module is
+the throughput mode: a chunk of B stereo pairs is feature-extracted as
+one batch (bigger matmuls, better MXU utilization) and the sequential
+frame-to-frame tracking recurrence runs as a ``lax.scan`` INSIDE the
+same program — one dispatch per B frames, device-bound throughput.
+
+The reference has no equivalent (it is synchronous per-frame); this is
+part of the new TPU scaling story, alongside parallel/dist_lba.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core import lie
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.frontend.features import PointObservations
+from plslam_tpu.frontend.stereo_points import extract_stereo_points
+from plslam_tpu.tracking import pose_gn
+from plslam_tpu.tracking.frame_handler import (build_point_terms,
+                                               match_f2f_points)
+
+
+class ChunkOutput(NamedTuple):
+    DT: jnp.ndarray          # (B, 4, 4) relative pose prev->cur per frame
+    cov: jnp.ndarray         # (B, 6, 6)
+    n_inliers: jnp.ndarray   # (B,)
+    err: jnp.ndarray         # (B,)
+    good: jnp.ndarray        # (B,)
+    last_feats: PointObservations   # features of the final frame (carry out)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vo_chunk(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
+             prev_feats: PointObservations, T_prior0: jnp.ndarray,
+             cam: StereoCamera, cfg: SlamConfig) -> ChunkOutput:
+    """Process (B, H, W) stereo chunks in one program.
+
+    Extraction is batched over frames; the tracking recurrence
+    (constant-velocity prior threading + robust GN) scans over them.
+    """
+    feats = jax.vmap(lambda a, b: extract_stereo_points(a, b, cam, cfg)
+                     )(imgs_l, imgs_r)
+
+    def body(carry, feat_i):
+        prev, T_prior = carry
+        mres = match_f2f_points(prev, feat_i, T_prior, cam, cfg)
+        terms = build_point_terms(prev, feat_i, mres)
+        res = pose_gn.optimize_pose(T_prior, cam, terms, None, cfg)
+        # constant-velocity prior for the next frame; identity fallback
+        # if the solve was rejected
+        T_next = jnp.where(res.good, res.T, T_prior)
+        return (feat_i, T_next), (res.T, res.cov, res.n_inliers, res.err,
+                                  res.good)
+
+    (last, _), (DT, cov, ninl, err, good) = lax.scan(
+        body, (prev_feats, T_prior0), feats)
+    return ChunkOutput(DT, cov, ninl, err, good, last)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_one(img_l, img_r, cam, cfg) -> PointObservations:
+    return extract_stereo_points(img_l, img_r, cam, cfg)
+
+
+class BatchedStereoVO:
+    """Host driver for chunked VO. API: feed chunks, get per-frame poses.
+
+    KF-style decisions happen at chunk granularity (the mapping thread of
+    the full system consumes them asynchronously anyway).
+    """
+
+    def __init__(self, cfg: SlamConfig, cam: Optional[StereoCamera] = None):
+        self.cfg = cfg
+        self.cam = cam if cam is not None else StereoCamera.from_config(cfg.camera)
+        self.prev_feats: Optional[PointObservations] = None
+        self.T_wc = np.eye(4, dtype=np.float32)
+        self.DT_prev = np.eye(4, dtype=np.float32)
+        self.trajectory = [self.T_wc.copy()]
+
+    def initialize(self, img_l: np.ndarray, img_r: np.ndarray) -> None:
+        self.prev_feats = extract_one(jnp.asarray(img_l), jnp.asarray(img_r),
+                                      self.cam, self.cfg)
+
+    def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray
+                      ) -> ChunkOutput:
+        """(B, H, W) arrays -> per-frame results; updates the trajectory."""
+        assert self.prev_feats is not None, "call initialize() first"
+        out = vo_chunk(jnp.asarray(imgs_l), jnp.asarray(imgs_r),
+                       self.prev_feats, jnp.asarray(self.DT_prev),
+                       self.cam, self.cfg)
+        self.prev_feats = out.last_feats
+        DT = np.asarray(out.DT)
+        good = np.asarray(out.good)
+        for i in range(DT.shape[0]):
+            step = DT[i] if good[i] else self.DT_prev
+            self.T_wc = (self.T_wc @ np.linalg.inv(step)).astype(np.float32)
+            self.DT_prev = step.astype(np.float32)
+            self.trajectory.append(self.T_wc.copy())
+        return out

@@ -97,8 +97,15 @@ def track_step(prev_pts: PointObservations, prev_lns: Optional[LineObservations]
                T_prior: jnp.ndarray, cam: StereoCamera, cfg: SlamConfig
                ) -> TrackOutput:
     """f2fTracking + optimizePose as one program."""
-    mp = match_f2f_points(prev_pts, cur_pts, T_prior, cam, cfg)
-    pt_terms = build_point_terms(prev_pts, cur_pts, mp)
+    if cfg.points.has_points and prev_pts.capacity > 0:
+        mp = match_f2f_points(prev_pts, cur_pts, T_prior, cam, cfg)
+        pt_terms = build_point_terms(prev_pts, cur_pts, mp)
+        mp_idx, n_pt = mp.idx, jnp.sum(mp.valid)
+    else:
+        pt_terms = pose_gn.PointTerms(jnp.zeros((0, 3)), jnp.zeros((0, 2)),
+                                      jnp.zeros((0,), bool))
+        mp_idx = jnp.zeros((0,), jnp.int32)
+        n_pt = jnp.asarray(0)
     if prev_lns is not None and cfg.lines.has_lines:
         ml = match_f2f_lines(prev_lns, cur_lns, T_prior, cam, cfg)
         ln_terms = build_line_terms(prev_lns, cur_lns, ml)
@@ -108,7 +115,7 @@ def track_step(prev_pts: PointObservations, prev_lns: Optional[LineObservations]
         ml_idx = jnp.zeros((0,), jnp.int32)
         n_ln = jnp.asarray(0)
     res = pose_gn.optimize_pose(T_prior, cam, pt_terms, ln_terms, cfg)
-    return TrackOutput(res, jnp.sum(mp.valid), n_ln, mp.idx, ml_idx)
+    return TrackOutput(res, n_pt, n_ln, mp_idx, ml_idx)
 
 
 class FrameResult(NamedTuple):

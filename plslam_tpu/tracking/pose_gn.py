@@ -154,12 +154,16 @@ def optimize_pose(T0: jnp.ndarray, cam: StereoCamera, pts: PointTerms,
     T1, _, _ = lax.fori_loop(0, tcfg.max_iters,
                              gn_iter, (T0, pts.valid, lns.valid))
 
-    # removeOutliers parity: gate on robust scale of residual norms
+    # removeOutliers parity: gate on robust scale of residual norms.
+    # The scale is floored at a quarter pixel — on near-noise-free data
+    # MAD collapses toward zero and k*sigma would reject perfectly
+    # fitting features.
     _, _, n_pt = point_terms_rj(T1, cam, pts)
     _, _, a_ln = line_terms_rj(T1, cam, lns)
     all_norms = jnp.concatenate([n_pt, a_ln.reshape(-1)])
     all_valid = jnp.concatenate([pts.valid, jnp.repeat(lns.valid, 2)])
-    sigma = robust.mad_scale_zero_centered(all_norms, all_valid)
+    sigma = jnp.maximum(
+        robust.mad_scale_zero_centered(all_norms, all_valid), 0.25)
     inlier_pt = pts.valid & (n_pt < tcfg.inlier_k * sigma)
     inlier_ln = lns.valid & jnp.all(a_ln < tcfg.inlier_k * sigma, axis=-1)
 

@@ -1,0 +1,44 @@
+"""Chunked VO must agree with the per-frame driver."""
+
+import numpy as np
+import pytest
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.io import synthetic
+from plslam_tpu.tracking.frame_handler import StereoVO
+from plslam_tpu.tracking.batch_vo import BatchedStereoVO
+from plslam_tpu.utils.evaluation import ate_rmse
+
+CFG = SlamConfig().with_updates({
+    "camera": {"width": 640, "height": 384, "fx": 450.0, "fy": 450.0,
+               "cx": 320.0, "cy": 192.0, "baseline": 0.3},
+    "points": {"max_kpts": 512, "orb_nlevels": 2},
+    "lines": {"has_lines": False},
+})
+CAM = StereoCamera.from_config(CFG.camera)
+
+
+def test_chunked_matches_per_frame():
+    seq = synthetic.make_sequence(CAM, n_frames=9, seed=7, n_points=260,
+                                  n_lines=0, noise=0.003, step=0.12)
+    vo = StereoVO(CFG, CAM)
+    vo.initialize(seq.images_l[0], seq.images_r[0])
+    for i in range(1, 9):
+        vo.insert_stereo_pair(seq.images_l[i], seq.images_r[i])
+    est_frame = np.stack(vo.trajectory)
+
+    bvo = BatchedStereoVO(CFG, CAM)
+    bvo.initialize(seq.images_l[0], seq.images_r[0])
+    out = bvo.process_chunk(seq.images_l[1:5], seq.images_r[1:5])
+    assert np.asarray(out.good).all()
+    bvo.process_chunk(seq.images_l[5:9], seq.images_r[5:9])
+    est_chunk = np.stack(bvo.trajectory)
+
+    assert est_chunk.shape == est_frame.shape
+    a_frame = ate_rmse(est_frame, seq.poses)
+    a_chunk = ate_rmse(est_chunk, seq.poses)
+    assert a_chunk < 0.05, a_chunk
+    # same solver, same matches -> trajectories agree tightly
+    d = np.linalg.norm(est_chunk[:, :3, 3] - est_frame[:, :3, 3], axis=1)
+    assert d.max() < 5e-3, d.max()

@@ -1,0 +1,86 @@
+"""Line front-end + lines-only VO tests (reference configs has_lines /
+has_points=false)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.io import synthetic
+from plslam_tpu.frontend.stereo_frame import extract_stereo_frame
+from plslam_tpu.tracking.frame_handler import track_step
+
+CFG_L = SlamConfig().with_updates({
+    "camera": {"width": 640, "height": 384, "fx": 450.0, "fy": 450.0,
+               "cx": 320.0, "cy": 192.0, "baseline": 0.3},
+    "points": {"max_kpts": 256, "orb_nlevels": 2, "has_points": False},
+    "lines": {"has_lines": True}})
+CAM = StereoCamera.from_config(CFG_L.camera)
+
+
+@pytest.fixture(scope="module")
+def line_seq():
+    return synthetic.make_sequence(CAM, n_frames=3, seed=0, n_points=0,
+                                   n_lines=60, noise=0.003, step=0.12)
+
+
+def test_stereo_line_matching(line_seq):
+    seq = line_seq
+    _, l0 = extract_stereo_frame(jnp.asarray(seq.images_l[0]),
+                                 jnp.asarray(seq.images_r[0]), CAM, CFG_L)
+    n = int(l0.valid.sum())
+    assert n >= 12, f"too few stereo line matches: {n}"
+    # endpoint disparities yield sane 3D
+    sP = np.asarray(l0.sP)[np.asarray(l0.valid)]
+    assert np.all(sP[:, 2] > 0.5) and np.all(sP[:, 2] < 80.0)
+    # detected segments align with GT projections: compare angles
+    gt = synthetic.exact_stereo_features(seq.world, seq.poses[0], CAM)
+    sp = np.asarray(l0.sp)[np.asarray(l0.valid)]
+    ep = np.asarray(l0.ep)[np.asarray(l0.valid)]
+    gt_sp = gt["line_sp_px"][gt["line_vis"]]
+    gt_ep = gt["line_ep_px"][gt["line_vis"]]
+    hits = 0
+    for s, e in zip(sp, ep):
+        mid = 0.5 * (s + e)
+        gmid = 0.5 * (gt_sp + gt_ep)
+        d = np.linalg.norm(gmid - mid, axis=1)
+        j = np.argmin(d)
+        if d[j] < 25.0:
+            ang = np.arctan2(e[1] - s[1], e[0] - s[0])
+            gang = np.arctan2(gt_ep[j, 1] - gt_sp[j, 1],
+                              gt_ep[j, 0] - gt_sp[j, 0])
+            da = abs(ang - gang) % np.pi
+            if min(da, np.pi - da) < 0.05:
+                hits += 1
+    assert hits >= 0.5 * len(sp), (hits, len(sp))
+
+
+def test_lines_only_tracking(line_seq):
+    seq = line_seq
+    from plslam_tpu.core import lie
+    p0, l0 = extract_stereo_frame(jnp.asarray(seq.images_l[0]),
+                                  jnp.asarray(seq.images_r[0]), CAM, CFG_L)
+    p1, l1 = extract_stereo_frame(jnp.asarray(seq.images_l[1]),
+                                  jnp.asarray(seq.images_r[1]), CAM, CFG_L)
+    out = track_step(p0, l0, p1, l1, jnp.eye(4), CAM, CFG_L)
+    assert bool(out.pose.good)
+    T_gt = np.linalg.inv(seq.poses[1]) @ seq.poses[0]
+    d = lie.log_se3(lie.inverse_se3(jnp.asarray(T_gt)) @ out.pose.T)
+    assert float(jnp.linalg.norm(d[:3])) < 0.03
+    assert float(jnp.linalg.norm(d[3:])) < 3e-3
+
+
+def test_lbd_descriptor_repeatable(line_seq):
+    """Same physical line in both eyes -> similar LBD descriptors."""
+    seq = line_seq
+    from plslam_tpu.frontend.stereo_lines import detect_and_describe_lines
+    segs_l, dl = detect_and_describe_lines(jnp.asarray(seq.images_l[0]), CFG_L)
+    segs_r, dr = detect_and_describe_lines(jnp.asarray(seq.images_r[0]), CFG_L)
+    from plslam_tpu.ops import hamming
+    dist = np.asarray(hamming.hamming_matrix(dl, dr, segs_l.valid,
+                                             segs_r.valid))
+    valid_l = np.asarray(segs_l.valid)
+    best = dist.min(axis=1)[valid_l]
+    # matched stereo lines should be well under the random expectation (128)
+    assert np.median(best) < 60, np.median(best)
