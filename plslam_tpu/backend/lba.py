@@ -317,7 +317,11 @@ def run_lba(problem: LBAProblem, cam: StereoCamera, cfg: SlamConfig
                                  problem1.obs_ln_le, problem1.obs_ln_sid, cam)
     re, _, _, oke = _endpoint_rj(problem1.kf_pose, problem1.ep_pos,
                                  problem1.obs_ln_le, problem1.obs_ln_eid, cam)
-    sigma = _robust_sigma(rn, ok, rs, oks, re, oke)
+    # gate sigma floored at the detector's pixel noise: on near-perfect
+    # data MAD collapses toward 0 and an unfloored k*sigma gate would
+    # flag EVERY observation as an outlier (detaching the whole map)
+    sigma = jnp.maximum(_robust_sigma(rn, ok, rs, oks, re, oke),
+                        mcfg.lba_min_sigma)
     k = mcfg.lba_inlier_k
     pt_inl = ok & (rn < k * sigma)
     ln_inl = oks & oke & (jnp.abs(rs) < k * sigma) & (jnp.abs(re) < k * sigma)

@@ -80,7 +80,10 @@ class MatchingConfig:
     stereo_row_tol: float = 1.5     # px, epipolar row tolerance
     stereo_overlap_th: float = 0.6  # line segment overlap (ref: stereo_overlap_th)
     line_horiz_th: float = 0.17     # rad, reject near-horizontal lines for stereo
-    f2f_window: float = 96.0        # px, search window around predicted position
+    f2f_window: float = 160.0       # px, search window around predicted position
+    #   (wide enough to bootstrap ~10 deg/frame yaw with no motion prior
+    #    at KITTI focal lengths; the window is a mask on the distance
+    #    matrix, so widening costs no compute shape change)
     best_lr_matches: bool = True    # mutual-best check
 
 
@@ -121,6 +124,7 @@ class MappingConfig:
     # (points.max_kpts / lines.max_lines); derived, not configured
     lba_iters: int = 10             # LM iterations in LBA
     lba_inlier_k: float = 2.0
+    lba_min_sigma: float = 0.5      # px floor for the outlier gate scale
     min_lm_obs: int = 3             # cull landmarks with fewer obs (ref: min_lm_obs)
     max_common_fts_kf: float = 0.9  # redundant-KF cull threshold
     lambda_init: float = 1e-3       # LM damping init for LBA
@@ -143,6 +147,8 @@ class LoopClosureConfig:
     consistency_window: int = 3     # consecutive-KF temporal consistency votes
     max_loop_candidates: int = 4
     pose_graph_iters: int = 12      # GN iterations on the essential graph
+    covis_min_shared: int = 25      # min shared landmarks for a covisibility edge
+    covis_edge_weight: float = 1.0  # pose-graph weight of covisibility edges
 
 
 @dataclass(frozen=True)

@@ -117,6 +117,89 @@ def build_rectify_map(K_new: np.ndarray, K_orig: np.ndarray, d: Tuple[float, ...
     return np.stack([u_src, v_src], axis=-1).astype(np.float32)
 
 
+def _rot_sqrt(R: np.ndarray) -> np.ndarray:
+    """Principal square root of a rotation matrix (half the rotation)."""
+    # axis-angle via log
+    cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(cos)
+    if theta < 1e-12:
+        return np.eye(3)
+    w = (1.0 / (2.0 * np.sin(theta))) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    half = 0.5 * theta
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    return (np.eye(3) + np.sin(half) * K
+            + (1 - np.cos(half)) * (K @ K)).astype(np.float64)
+
+
+def stereo_rectify(K0: np.ndarray, d0: Tuple[float, ...],
+                   K1: np.ndarray, d1: Tuple[float, ...],
+                   R: np.ndarray, t: np.ndarray,
+                   height: int, width: int
+                   ) -> Tuple[np.ndarray, np.ndarray, "CameraConfigLike"]:
+    """Full stereo rectification for a raw (distorted, unaligned) rig.
+
+    cv::stereoRectify + initUndistortRectifyMap parity as used by
+    pinholeStereoCamera.cpp::rectifyImagesLR for EuRoC-style input.
+    ``R, t`` map left-camera coords to right-camera coords:
+    ``x_r = R x_l + t``. Returns ``(map_l, map_r, cam_cfg)`` — two
+    (H, W, 2) gather maps for :func:`remap_bilinear` plus the rectified
+    :class:`~plslam_tpu.config.CameraConfig` (fx=fy, zero distortion,
+    baseline |t|).
+
+    Geometry: split R in half so both cameras rotate equally
+    (``R1 = Rw R**0.5`` on the left, ``R2 = Rw R**-0.5`` on the right),
+    then a common rotation Rw takes the halved baseline to the -x axis,
+    so rectified frames satisfy ``x_r' = x_l' - [b, 0, 0]`` — the
+    row-aligned convention every matcher/triangulator here assumes.
+    """
+    from plslam_tpu.config import CameraConfig
+    R = np.asarray(R, np.float64)
+    t = np.asarray(t, np.float64).reshape(3)
+    Rh = _rot_sqrt(R)                    # R ** 0.5
+    t_mid = Rh.T @ t                     # baseline seen from the mid frame
+    b = float(np.linalg.norm(t))
+    # common rotation: e1 along -t_mid (so t' = [-b, 0, 0]), e2 ⊥ in the
+    # plane closest to the old image rows, e3 completes
+    e1 = -t_mid / np.linalg.norm(t_mid)
+    e2 = np.cross([0.0, 0.0, 1.0], e1)
+    n = np.linalg.norm(e2)
+    e2 = np.array([0.0, 1.0, 0.0]) if n < 1e-9 else e2 / n
+    e3 = np.cross(e1, e2)
+    Rw = np.stack([e1, e2, e3], axis=0)
+    R1 = Rw @ Rh                         # applied to left-camera coords
+    R2 = Rw @ Rh.T                       # = Rw R**-0.5, applied to right
+
+    f_new = 0.5 * (float(K0[0, 0]) + float(K0[1, 1]))
+    K_new = np.array([[f_new, 0, width / 2.0],
+                      [0, f_new, height / 2.0],
+                      [0, 0, 1.0]])
+    map_l = build_rectify_map(K_new, np.asarray(K0, np.float64), tuple(d0),
+                              R1, height, width)
+    map_r = build_rectify_map(K_new, np.asarray(K1, np.float64), tuple(d1),
+                              R2, height, width)
+    cam_cfg = CameraConfig(width=width, height=height, fx=f_new, fy=f_new,
+                           cx=width / 2.0, cy=height / 2.0, baseline=b)
+    return map_l, map_r, cam_cfg
+
+
+class StereoRectifier:
+    """Device-side raw->rectified image warp (the cv::remap stage of
+    rectifyImagesLR), jitted once and reused every frame."""
+
+    def __init__(self, map_l: np.ndarray, map_r: np.ndarray):
+        import jax
+        self.map_l = jnp.asarray(map_l)
+        self.map_r = jnp.asarray(map_r)
+        self._fn = jax.jit(
+            lambda il, ir, ml, mr: (remap_bilinear(il, ml),
+                                    remap_bilinear(ir, mr)))
+
+    def __call__(self, img_l, img_r):
+        return self._fn(jnp.asarray(img_l), jnp.asarray(img_r),
+                        self.map_l, self.map_r)
+
+
 def remap_bilinear(img: jnp.ndarray, mapping: jnp.ndarray) -> jnp.ndarray:
     """Device-side bilinear remap: (H, W) image, (H', W', 2) (u, v) map.
 

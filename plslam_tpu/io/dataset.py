@@ -41,19 +41,26 @@ class StereoDataset:
 
     def __init__(self, left: List[str], right: List[str],
                  camera: CameraConfig, gt_poses: Optional[np.ndarray] = None,
-                 name: str = "dataset"):
+                 name: str = "dataset", rectifier=None):
         assert len(left) == len(right), "stereo list length mismatch"
         self.left = left
         self.right = right
         self.camera = camera
         self.gt_poses = gt_poses
         self.name = name
+        # raw (distorted/unaligned) rigs carry a device-side remap stage
+        # (pinholeStereoCamera.cpp::rectifyImagesLR parity); None = input
+        # is already rectified (KITTI)
+        self.rectifier = rectifier
 
     def __len__(self) -> int:
         return len(self.left)
 
     def frame(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
-        return _load_gray(self.left[i]), _load_gray(self.right[i])
+        il, ir = _load_gray(self.left[i]), _load_gray(self.right[i])
+        if self.rectifier is not None:
+            il, ir = self.rectifier(il, ir)
+        return il, ir
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         for i in range(len(self)):
@@ -78,10 +85,7 @@ def open_dataset(path: str, camera: Optional[CameraConfig] = None,
         name = "kitti:" + os.path.basename(os.path.normpath(path))
         gt = _load_kitti_poses(path)
     elif os.path.isdir(os.path.join(path, "mav0")):
-        l = _sorted_images(os.path.join(path, "mav0", "cam0", "data"))
-        r = _sorted_images(os.path.join(path, "mav0", "cam1", "data"))
-        name = "euroc:" + os.path.basename(os.path.normpath(path))
-        gt = None
+        return _open_euroc(path, start, count, step)
     elif os.path.exists(os.path.join(path, "dataset_params.yaml")):
         import yaml
         with open(os.path.join(path, "dataset_params.yaml")) as f:
@@ -101,6 +105,109 @@ def open_dataset(path: str, camera: Optional[CameraConfig] = None,
     sl = slice(start, end, step)
     gt_sl = gt[sl] if gt is not None else None
     return StereoDataset(l[sl], r[sl], camera or CameraConfig(), gt_sl, name)
+
+
+def _parse_euroc_sensor_yaml(path: str):
+    """mav0/cam*/sensor.yaml -> (K 3x3, dist tuple, T_BS 4x4, (w, h))."""
+    import yaml
+    with open(path) as f:
+        s = yaml.safe_load(f)
+    fu, fv, cu, cv = s["intrinsics"]
+    K = np.array([[fu, 0, cu], [0, fv, cv], [0, 0, 1.0]])
+    d = tuple(float(x) for x in s.get("distortion_coefficients", []))
+    T_BS = np.asarray(s["T_BS"]["data"], np.float64).reshape(4, 4)
+    w, h = s["resolution"]
+    return K, d, T_BS, (int(w), int(h))
+
+
+def _quat_to_rot(qw, qx, qy, qz):
+    q = np.array([qw, qx, qy, qz]) / np.linalg.norm([qw, qx, qy, qz])
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _open_euroc(path: str, start: int, count: Optional[int], step: int
+                ) -> StereoDataset:
+    """EuRoC ASL: raw distorted unaligned stereo -> full on-device
+    rectification (sensor.yaml intrinsics/extrinsics -> stereo_rectify),
+    plus ground truth from state_groundtruth_estimate0, expressed in the
+    rectified-left-camera frame so ATE compares like with like.
+
+    Reference parity: the EuRoC path of dataset.cpp +
+    pinholeStereoCamera's cv::stereoRectify/initUndistortRectifyMap
+    usage (KITTI arrives rectified; EuRoC must be rectified here).
+    """
+    from plslam_tpu.core.camera import stereo_rectify, StereoRectifier
+    mav = os.path.join(path, "mav0")
+    l = _sorted_images(os.path.join(mav, "cam0", "data"))
+    r = _sorted_images(os.path.join(mav, "cam1", "data"))
+    name = "euroc:" + os.path.basename(os.path.normpath(path))
+
+    rectifier = None
+    camera = None
+    R1 = np.eye(3)
+    T_BS0 = np.eye(4)
+    y0 = os.path.join(mav, "cam0", "sensor.yaml")
+    y1 = os.path.join(mav, "cam1", "sensor.yaml")
+    if os.path.exists(y0) and os.path.exists(y1):
+        K0, d0, T_BS0, (w, h) = _parse_euroc_sensor_yaml(y0)
+        K1, d1, T_BS1, _ = _parse_euroc_sensor_yaml(y1)
+        T_10 = np.linalg.inv(T_BS1) @ T_BS0          # x_c1 = T_10 x_c0
+        map_l, map_r, camera = stereo_rectify(
+            K0, d0, K1, d1, T_10[:3, :3], T_10[:3, 3], h, w)
+        rectifier = StereoRectifier(map_l, map_r)
+        # recover R1 (left rectifying rotation) for the GT frame change
+        from plslam_tpu.core.camera import _rot_sqrt
+        Rh = _rot_sqrt(T_10[:3, :3])
+        t_mid = Rh.T @ T_10[:3, 3]
+        e1 = -t_mid / np.linalg.norm(t_mid)
+        e2 = np.cross([0.0, 0.0, 1.0], e1)
+        e2 = e2 / np.linalg.norm(e2)
+        R1 = np.stack([e1, e2, np.cross(e1, e2)]) @ Rh
+
+    # align stereo lists by timestamp (filenames are ns stamps)
+    stamps_l = {os.path.splitext(os.path.basename(p))[0]: p for p in l}
+    stamps_r = {os.path.splitext(os.path.basename(p))[0]: p for p in r}
+    common = sorted(set(stamps_l) & set(stamps_r))
+    l = [stamps_l[s] for s in common]
+    r = [stamps_r[s] for s in common]
+
+    gt = _load_euroc_gt(mav, common, T_BS0, R1)
+    end = None if count is None else start + count * step
+    sl = slice(start, end, step)
+    gt_sl = gt[sl] if gt is not None else None
+    return StereoDataset(l[sl], r[sl], camera or CameraConfig(), gt_sl,
+                         name, rectifier=rectifier)
+
+
+def _load_euroc_gt(mav: str, stamps: List[str], T_BS0: np.ndarray,
+                   R1: np.ndarray) -> Optional[np.ndarray]:
+    """state_groundtruth_estimate0/data.csv -> (N, 4, 4) rectified-left-
+    camera poses matched to the image timestamps (nearest neighbor)."""
+    csv = os.path.join(mav, "state_groundtruth_estimate0", "data.csv")
+    if not os.path.exists(csv):
+        return None
+    rows = np.genfromtxt(csv, delimiter=",", skip_header=1)
+    if rows.ndim != 2 or rows.shape[1] < 8:
+        return None
+    gt_ts = rows[:, 0]
+    T_c0_rect = np.eye(4)
+    T_c0_rect[:3, :3] = R1.T                      # x_c0 = R1^T x_rect
+    out = []
+    img_ts = np.array([float(s) for s in stamps])
+    idx = np.searchsorted(gt_ts, img_ts)
+    for k, i in enumerate(np.clip(idx, 1, len(gt_ts) - 1)):
+        j = i if abs(gt_ts[i] - img_ts[k]) < abs(gt_ts[i - 1] - img_ts[k]) \
+            else i - 1
+        p = rows[j, 1:4]
+        T_WB = np.eye(4)
+        T_WB[:3, :3] = _quat_to_rot(*rows[j, 4:8])
+        T_WB[:3, 3] = p
+        out.append(T_WB @ T_BS0 @ T_c0_rect)
+    return np.stack(out).astype(np.float32)
 
 
 def _load_kitti_poses(path: str) -> Optional[np.ndarray]:

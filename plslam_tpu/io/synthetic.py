@@ -89,8 +89,11 @@ def make_trajectory(n_frames: int, kind: str = "forward", step: float = 0.15,
     poses = np.zeros((n_frames, 4, 4), np.float32)
     T = np.eye(4, dtype=np.float32)
     if kind == "loop":
-        # full circle so the last frames revisit the first
-        yaw_rate = 2 * np.pi / max(n_frames - 1, 1)
+        # full circle so the last frames revisit the first — but capped at
+        # ~10 deg/frame: with too few frames an uncapped rate is physically
+        # untrackable (features leave the f2f search window every frame)
+        # and the run degenerates to a tracking-failure stress test
+        yaw_rate = min(2 * np.pi / max(n_frames - 1, 1), np.radians(10.0))
     for i in range(n_frames):
         poses[i] = T
         jitter = np.zeros(6, np.float32)

@@ -52,6 +52,27 @@ def verify_loop_geometry(kf_desc_a, obs_uv_a, obs_disp_a,
     return res, jnp.sum(mres.valid)
 
 
+@partial(jax.jit, static_argnames=("max_points",))
+def covisibility_counts(obs_pt_lm: jnp.ndarray, slot: jnp.ndarray,
+                        max_points: int) -> jnp.ndarray:
+    """(F,) shared-landmark counts between KF ``slot`` and every KF.
+
+    Reference parity: the covisibility weights mapHandler.cpp maintains
+    between KeyFrames (shared MapPoint observation counts), which select
+    the pairs that receive essential-graph edges. Here there is no graph
+    data structure: a one-hot membership vector over landmark slots plus
+    one masked gather over the full (F, K) observation table yields all
+    pairwise-with-slot counts in a single vectorized pass.
+    """
+    lm_slot = obs_pt_lm[slot]                               # (K,)
+    member = jnp.zeros((max_points,), jnp.float32).at[
+        jnp.clip(lm_slot, 0, max_points - 1)].max(
+        (lm_slot >= 0).astype(jnp.float32))                 # (P,) 0/1
+    hits = jnp.where(obs_pt_lm >= 0,
+                     member[jnp.clip(obs_pt_lm, 0, max_points - 1)], 0.0)
+    return jnp.sum(hits, axis=-1)                           # (F,)
+
+
 @partial(jax.jit, static_argnames=())
 def apply_graph_correction(state, new_poses: jnp.ndarray):
     """Re-anchor landmarks to the corrected KF poses: each landmark moves
@@ -96,6 +117,7 @@ class LoopCloser:
         self.db = BowDatabase(cfg, voc_p, voc_l)
         self.voter = ConsistencyVoter(cfg.loop.consistency_window)
         self.odo_edges = []          # (i, j, T_rel np, w)
+        self.covis_edges = []        # (i, j, T_rel np, w) shared-landmark pairs
         self.loop_edges = []
         self.events = []
         self.n_loops_closed = 0
@@ -115,6 +137,10 @@ class LoopCloser:
                 valid_l = state.obs_ln_lm[slot] >= 0
             pose = np.asarray(state.kf_pose[slot])
             n_kfs = int(state.n_kfs)
+            covis = np.asarray(covisibility_counts(
+                state.obs_pt_lm, jnp.asarray(slot),
+                cfg.mapping.max_points))
+            kf_poses = np.asarray(state.kf_pose)
         self.db.insert(slot, desc_p, valid_p, desc_l, valid_l)
 
         # odometry edge from the previous KF
@@ -122,6 +148,17 @@ class LoopCloser:
             T_rel = np.linalg.inv(self._last_pose) @ pose
             self.odo_edges.append((slot - 1, slot, T_rel.astype(np.float32), 1.0))
         self._last_pose = pose
+
+        # covisibility edges: non-adjacent earlier KFs sharing enough
+        # landmarks with this one get an essential-graph edge measured at
+        # insertion time (locally drift-free, like the reference's
+        # covisibility edges created as the map is built)
+        for f in np.nonzero(covis >= cfg.loop.covis_min_shared)[0]:
+            if f < slot - 1:
+                T_rel = np.linalg.inv(kf_poses[f]) @ pose
+                self.covis_edges.append(
+                    (int(f), slot, T_rel.astype(np.float32),
+                     cfg.loop.covis_edge_weight))
 
         if slot < cfg.loop.min_kf_separation:
             return None
@@ -187,7 +224,9 @@ class LoopCloser:
             poses = state.kf_pose
             pose_valid = state.kf_valid
 
-        edges = self.odo_edges + self.loop_edges
+        # odometry + loop edges are load-bearing; covis edges last so they
+        # are what the fixed-capacity truncation drops first
+        edges = self.odo_edges + self.loop_edges + self.covis_edges
         ei = np.full((E,), 0, np.int32)
         ej = np.full((E,), 0, np.int32)
         eT = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))

@@ -126,6 +126,25 @@ def test_pose_graph_closes_drift():
     np.testing.assert_allclose(npo[0], poses[0], atol=1e-4)
 
 
+def test_covisibility_counts():
+    """Shared-landmark counting against a hand-built observation table."""
+    from plslam_tpu.loop.loop_closer import covisibility_counts
+    F, K, P = 6, 8, 32
+    obs = np.full((F, K), -1, np.int32)
+    obs[0, :4] = [1, 2, 3, 4]
+    obs[1, :4] = [3, 4, 5, 6]        # shares {3,4} with KF0
+    obs[2, :2] = [1, 9]              # shares {1} with KF0
+    obs[3, :3] = [20, 21, 22]        # disjoint
+    counts = np.asarray(covisibility_counts(jnp.asarray(obs),
+                                            jnp.asarray(0), P))
+    np.testing.assert_array_equal(counts[:4], [4, 2, 1, 0])
+    # duplicate landmark ids in a row must not double-count membership
+    obs[4, :4] = [3, 3, 3, 7]
+    counts = np.asarray(covisibility_counts(jnp.asarray(obs),
+                                            jnp.asarray(4), P))
+    assert counts[0] == 1 and counts[1] == 1, counts
+
+
 @pytest.mark.slow
 def test_slam_closes_synthetic_loop():
     """Full-stack loop closure on a circular trajectory (BASELINE config 4
