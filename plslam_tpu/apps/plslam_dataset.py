@@ -52,25 +52,27 @@ def main(argv=None) -> int:
     n = len(ds)
     img_l, img_r = ds.frame(0)
     slam.initialize(img_l, img_r)
+    from plslam_tpu.utils.timing import maybe_profile
     t_start = time.perf_counter()
     n_good = 0
     n_kfs = 1
-    for i in range(1, n):
-        timer.start("io")
-        img_l, img_r = ds.frame(i)
-        timer.stop("io")
-        timer.start("frame")
-        out = slam.process(img_l, img_r)
-        timer.stop("frame", jnp.asarray(out.frame.T_wc))
-        fr = out.frame
-        n_good += int(fr.good)
-        if out.kf_slot is not None:
-            n_kfs += 1
-        if not args.quiet and (i % 10 == 0 or not fr.good):
-            t = fr.T_wc[:3, 3]
-            print(f"[{i:4d}/{n}] good={fr.good} inl={fr.n_inliers:4d} "
-                  f"kf={out.kf_slot is not None} "
-                  f"t=({t[0]:+.2f},{t[1]:+.2f},{t[2]:+.2f})")
+    with maybe_profile(args.profile):
+        for i in range(1, n):
+            timer.start("io")
+            img_l, img_r = ds.frame(i)
+            timer.stop("io")
+            timer.start("frame")
+            out = slam.process(img_l, img_r)
+            timer.stop("frame", jnp.asarray(out.frame.T_wc))
+            fr = out.frame
+            n_good += int(fr.good)
+            if out.kf_slot is not None:
+                n_kfs += 1
+            if not args.quiet and (i % 10 == 0 or not fr.good):
+                t = fr.T_wc[:3, 3]
+                print(f"[{i:4d}/{n}] good={fr.good} inl={fr.n_inliers:4d} "
+                      f"kf={out.kf_slot is not None} "
+                      f"t=({t[0]:+.2f},{t[1]:+.2f},{t[2]:+.2f})")
     est = slam.finish()
     wall = time.perf_counter() - t_start
 

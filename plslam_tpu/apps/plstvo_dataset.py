@@ -38,6 +38,9 @@ def build_argparser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--trajectory", default="forward",
                     choices=["forward", "arc", "loop"], help="synthetic motion")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace into DIR "
+                         "(view with tensorboard / xprof)")
     return ap
 
 
@@ -120,23 +123,25 @@ def main(argv=None) -> int:
     vo = StereoVO(cfg, cam, extract_fn=extract_fn)
     timer = StageTimer()
 
+    from plslam_tpu.utils.timing import maybe_profile
     n = len(ds)
     img_l, img_r = ds.frame(0)
     vo.initialize(img_l, img_r)
     t_start = time.perf_counter()
     n_good = 0
-    for i in range(1, n):
-        timer.start("io")
-        img_l, img_r = ds.frame(i)
-        timer.stop("io")
-        timer.start("frame")
-        fr = vo.insert_stereo_pair(img_l, img_r)
-        timer.stop("frame", jnp.asarray(fr.T_wc))
-        n_good += int(fr.good)
-        if not args.quiet and (i % 10 == 0 or not fr.good):
-            print(f"[{i:4d}/{n}] good={fr.good} inl={fr.n_inliers:4d} "
-                  f"err={fr.err:6.3f} kf={fr.is_kf} "
-                  f"t=({fr.T_wc[0,3]:+.2f},{fr.T_wc[1,3]:+.2f},{fr.T_wc[2,3]:+.2f})")
+    with maybe_profile(args.profile):
+        for i in range(1, n):
+            timer.start("io")
+            img_l, img_r = ds.frame(i)
+            timer.stop("io")
+            timer.start("frame")
+            fr = vo.insert_stereo_pair(img_l, img_r)
+            timer.stop("frame", jnp.asarray(fr.T_wc))
+            n_good += int(fr.good)
+            if not args.quiet and (i % 10 == 0 or not fr.good):
+                print(f"[{i:4d}/{n}] good={fr.good} inl={fr.n_inliers:4d} "
+                      f"err={fr.err:6.3f} kf={fr.is_kf} "
+                      f"t=({fr.T_wc[0,3]:+.2f},{fr.T_wc[1,3]:+.2f},{fr.T_wc[2,3]:+.2f})")
     wall = time.perf_counter() - t_start
 
     est = np.stack(vo.trajectory)

@@ -65,3 +65,32 @@ def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check: bool = True):
 
 def sharding(mesh: Mesh, spec: PartitionSpec) -> NamedSharding:
     return NamedSharding(mesh, spec)
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> int:
+    """Multi-host bring-up (SURVEY.md §2.3 P6): ``jax.distributed
+    .initialize`` with single-process passthrough.
+
+    On a pod slice every host calls this before building meshes; the
+    arguments default to the cluster-env auto-detection (GKE/Borg set
+    the env vars). Returns the process index (0 on single host).
+    Collectives then ride ICI within a slice and DCN across slices
+    exactly as in the single-process CPU-mesh tests — the mesh/shard_map
+    code in this package is identical either way.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    elif coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    return jax.process_index()
+
+
+def make_global_mesh(axes: Sequence[str] = ("kf", "lm")) -> Mesh:
+    """Mesh over ALL addressable+remote devices (multi-host): the host
+    axis folds into the first mesh axis so keyframe blocks shard across
+    hosts (DCN) and landmark blocks across each host's chips (ICI)."""
+    return make_mesh(len(jax.devices()), axes)

@@ -9,6 +9,7 @@ provided arrays before reading the clock.
 
 from __future__ import annotations
 
+import contextlib
 import time
 from collections import defaultdict
 from typing import Dict, Optional
@@ -44,3 +45,18 @@ class StageTimer:
 
     def report(self) -> str:
         return " | ".join(f"{k}: {v:.2f}ms" for k, v in self.summary().items())
+
+
+@contextlib.contextmanager
+def maybe_profile(trace_dir):
+    """jax.profiler device trace when a directory is given, no-op
+    otherwise (SURVEY.md §5 tracing parity: Timer prints + a real
+    profiler; view traces with tensorboard/xprof)."""
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+    else:
+        yield
