@@ -350,5 +350,18 @@ def cull_landmarks(state: MapState, cfg: SlamConfig) -> MapState:
               & (state.pt_last_kf < cur - grace))
     bad_ln = (state.ln_valid & (state.ln_nobs < m.min_lm_obs)
               & (state.ln_last_kf < cur - grace))
+    # detach every observation of a culled landmark: its slot will be
+    # recycled, and a stale obs_pt_lm entry would silently re-bind old
+    # KF observations to whatever landmark lands in the slot next
+    # (corrupting LBA residuals and covisibility counts)
+    obs_pt_lm = jnp.where(
+        (state.obs_pt_lm >= 0)
+        & bad_pt[jnp.clip(state.obs_pt_lm, 0, bad_pt.shape[0] - 1)],
+        -1, state.obs_pt_lm)
+    obs_ln_lm = jnp.where(
+        (state.obs_ln_lm >= 0)
+        & bad_ln[jnp.clip(state.obs_ln_lm, 0, bad_ln.shape[0] - 1)],
+        -1, state.obs_ln_lm)
     return state._replace(pt_valid=state.pt_valid & ~bad_pt,
-                          ln_valid=state.ln_valid & ~bad_ln)
+                          ln_valid=state.ln_valid & ~bad_ln,
+                          obs_pt_lm=obs_pt_lm, obs_ln_lm=obs_ln_lm)

@@ -92,3 +92,32 @@ def test_slam_async_mapping_matches_sync():
     a_async = ate_rmse(est_async, seq.poses)
     assert a_async < 0.08, f"async SLAM ATE {a_async:.4f}"
     assert a_sync < 0.08, f"sync SLAM ATE {a_sync:.4f}"
+
+
+def test_cull_detaches_observations():
+    """Culled landmarks must disappear from every KF's observation table:
+    a stale obs_pt_lm entry would re-bind to whatever landmark is
+    allocated into the recycled slot next (LBA/covisibility corruption)."""
+    from plslam_tpu.backend.map import init_map_state, cull_landmarks
+
+    state = init_map_state(CFG)
+    # landmark 5: 1 obs, stale (last seen KF0, now at KF8) -> cull
+    # landmark 6: mature (nobs=4)                          -> keep
+    state = state._replace(
+        n_kfs=jnp.asarray(9),
+        pt_valid=state.pt_valid.at[5].set(True).at[6].set(True),
+        pt_nobs=state.pt_nobs.at[5].set(1).at[6].set(4),
+        pt_last_kf=state.pt_last_kf.at[5].set(0).at[6].set(0),
+        obs_pt_lm=state.obs_pt_lm.at[0, 0].set(5).at[0, 1].set(6),
+        obs_ln_lm=state.obs_ln_lm.at[0, 0].set(2),
+        ln_valid=state.ln_valid.at[2].set(True),
+        ln_nobs=state.ln_nobs.at[2].set(1),
+        ln_last_kf=state.ln_last_kf.at[2].set(0),
+    )
+    out = cull_landmarks(state, CFG)
+    assert not bool(out.pt_valid[5])
+    assert bool(out.pt_valid[6])
+    assert int(out.obs_pt_lm[0, 0]) == -1      # detached with the cull
+    assert int(out.obs_pt_lm[0, 1]) == 6       # survivor untouched
+    assert not bool(out.ln_valid[2])
+    assert int(out.obs_ln_lm[0, 0]) == -1
