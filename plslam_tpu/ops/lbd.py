@@ -22,7 +22,7 @@ from typing import Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from plslam_tpu.ops.image import sobel_gradients, bilinear_sample
+from plslam_tpu.ops.image import sobel_gradients, bilinear_sample_mxu_multi
 
 N_BITS = 256
 
@@ -75,8 +75,10 @@ def describe_lines(img: jnp.ndarray, sp: jnp.ndarray, ep: jnp.ndarray,
     base = sp[:, None, :] + d[:, None, :] * t[None, :, None]     # (L, S, 2)
     off = jnp.stack([nx, ny], axis=-1)[:, None, :] * o[None, :, None]  # (L, A, 2)
     pts = base[:, :, None, :] + off[:, None, :, :]
-    gxs = bilinear_sample(gx, pts)                    # (L, S, A)
-    gys = bilinear_sample(gy, pts)
+    # MXU matmul-sampling of both gradient maps at once (TPU gathers
+    # serialize per element; this is the hot kernel of the line
+    # front-end, ~4x faster as matmuls — see ops/image.py)
+    gxs, gys = bilinear_sample_mxu_multi((gx, gy), pts)  # (L, S, A) each
 
     # rotate gradients into the line frame
     g_par = gxs * dx[:, None, None] + gys * dy[:, None, None]

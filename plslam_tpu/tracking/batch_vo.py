@@ -26,10 +26,12 @@ from jax import lax
 from plslam_tpu.config import SlamConfig
 from plslam_tpu.core import lie
 from plslam_tpu.core.camera import StereoCamera
-from plslam_tpu.frontend.features import PointObservations
-from plslam_tpu.frontend.stereo_points import extract_stereo_points
+from plslam_tpu.frontend.features import LineObservations, PointObservations
+from plslam_tpu.frontend.stereo_frame import extract_stereo_frame
 from plslam_tpu.tracking import pose_gn
-from plslam_tpu.tracking.frame_handler import (build_point_terms,
+from plslam_tpu.tracking.frame_handler import (build_line_terms,
+                                               build_point_terms,
+                                               match_f2f_lines,
                                                match_f2f_points)
 
 
@@ -39,40 +41,51 @@ class ChunkOutput(NamedTuple):
     n_inliers: jnp.ndarray   # (B,)
     err: jnp.ndarray         # (B,)
     good: jnp.ndarray        # (B,)
-    last_feats: PointObservations   # features of the final frame (carry out)
+    last_pts: PointObservations             # final frame's features (carry out)
+    last_lns: Optional[LineObservations]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def vo_chunk(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
-             prev_feats: PointObservations, T_prior0: jnp.ndarray,
+             prev_pts: PointObservations,
+             prev_lns: Optional[LineObservations],
+             T_prior0: jnp.ndarray,
              cam: StereoCamera, cfg: SlamConfig) -> ChunkOutput:
     """Process (B, H, W) stereo chunks in one program.
 
-    Extraction is batched over frames; the tracking recurrence
-    (constant-velocity prior threading + robust GN) scans over them.
+    Extraction (points + lines when ``cfg.lines.has_lines``) is batched
+    over frames; the tracking recurrence (constant-velocity prior
+    threading + joint robust GN) scans over them.
     """
-    feats = jax.vmap(lambda a, b: extract_stereo_points(a, b, cam, cfg)
-                     )(imgs_l, imgs_r)
+    pts, lns = jax.vmap(lambda a, b: extract_stereo_frame(a, b, cam, cfg)
+                        )(imgs_l, imgs_r)
 
     def body(carry, feat_i):
-        prev, T_prior = carry
-        mres = match_f2f_points(prev, feat_i, T_prior, cam, cfg)
-        terms = build_point_terms(prev, feat_i, mres)
-        res = pose_gn.optimize_pose(T_prior, cam, terms, None, cfg)
+        prev_p, prev_l, T_prior = carry
+        pts_i, lns_i = feat_i
+        mres = match_f2f_points(prev_p, pts_i, T_prior, cam, cfg)
+        terms = build_point_terms(prev_p, pts_i, mres)
+        if prev_l is not None:
+            ml = match_f2f_lines(prev_l, lns_i, T_prior, cam, cfg)
+            ln_terms = build_line_terms(prev_l, lns_i, ml)
+        else:
+            ln_terms = None
+        res = pose_gn.optimize_pose(T_prior, cam, terms, ln_terms, cfg)
         # constant-velocity prior for the next frame; identity fallback
         # if the solve was rejected
         T_next = jnp.where(res.good, res.T, T_prior)
-        return (feat_i, T_next), (res.T, res.cov, res.n_inliers, res.err,
-                                  res.good)
+        return (pts_i, lns_i, T_next), (res.T, res.cov, res.n_inliers,
+                                        res.err, res.good)
 
-    (last, _), (DT, cov, ninl, err, good) = lax.scan(
-        body, (prev_feats, T_prior0), feats)
-    return ChunkOutput(DT, cov, ninl, err, good, last)
+    (last_p, last_l, _), (DT, cov, ninl, err, good) = lax.scan(
+        body, (prev_pts, prev_lns, T_prior0), (pts, lns))
+    return ChunkOutput(DT, cov, ninl, err, good, last_p, last_l)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def extract_one(img_l, img_r, cam, cfg) -> PointObservations:
-    return extract_stereo_points(img_l, img_r, cam, cfg)
+def extract_one(img_l, img_r, cam, cfg
+                ) -> Tuple[PointObservations, Optional[LineObservations]]:
+    return extract_stereo_frame(img_l, img_r, cam, cfg)
 
 
 class BatchedStereoVO:
@@ -85,23 +98,24 @@ class BatchedStereoVO:
     def __init__(self, cfg: SlamConfig, cam: Optional[StereoCamera] = None):
         self.cfg = cfg
         self.cam = cam if cam is not None else StereoCamera.from_config(cfg.camera)
-        self.prev_feats: Optional[PointObservations] = None
+        self.prev_pts: Optional[PointObservations] = None
+        self.prev_lns: Optional[LineObservations] = None
         self.T_wc = np.eye(4, dtype=np.float32)
         self.DT_prev = np.eye(4, dtype=np.float32)
         self.trajectory = [self.T_wc.copy()]
 
     def initialize(self, img_l: np.ndarray, img_r: np.ndarray) -> None:
-        self.prev_feats = extract_one(jnp.asarray(img_l), jnp.asarray(img_r),
-                                      self.cam, self.cfg)
+        self.prev_pts, self.prev_lns = extract_one(
+            jnp.asarray(img_l), jnp.asarray(img_r), self.cam, self.cfg)
 
     def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray
                       ) -> ChunkOutput:
         """(B, H, W) arrays -> per-frame results; updates the trajectory."""
-        assert self.prev_feats is not None, "call initialize() first"
+        assert self.prev_pts is not None, "call initialize() first"
         out = vo_chunk(jnp.asarray(imgs_l), jnp.asarray(imgs_r),
-                       self.prev_feats, jnp.asarray(self.DT_prev),
-                       self.cam, self.cfg)
-        self.prev_feats = out.last_feats
+                       self.prev_pts, self.prev_lns,
+                       jnp.asarray(self.DT_prev), self.cam, self.cfg)
+        self.prev_pts, self.prev_lns = out.last_pts, out.last_lns
         DT = np.asarray(out.DT)
         good = np.asarray(out.good)
         for i in range(DT.shape[0]):

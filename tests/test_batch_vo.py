@@ -42,3 +42,29 @@ def test_chunked_matches_per_frame():
     # same solver, same matches -> trajectories agree tightly
     d = np.linalg.norm(est_chunk[:, :3, 3] - est_frame[:, :3, 3], axis=1)
     assert d.max() < 5e-3, d.max()
+
+
+def test_chunked_point_line_matches_per_frame():
+    """The flagship configuration (points + lines) through the chunked
+    path must agree with the per-frame driver."""
+    from plslam_tpu.frontend.stereo_frame import make_extractor
+
+    cfg = CFG.with_updates({"lines": {"has_lines": True, "max_lines": 64}})
+    seq = synthetic.make_sequence(CAM, n_frames=7, seed=3, n_points=220,
+                                  n_lines=40, noise=0.003, step=0.12)
+    vo = StereoVO(cfg, CAM, extract_fn=make_extractor(CAM, cfg))
+    vo.initialize(seq.images_l[0], seq.images_r[0])
+    for i in range(1, 7):
+        vo.insert_stereo_pair(seq.images_l[i], seq.images_r[i])
+    est_frame = np.stack(vo.trajectory)
+
+    bvo = BatchedStereoVO(cfg, CAM)
+    bvo.initialize(seq.images_l[0], seq.images_r[0])
+    out = bvo.process_chunk(seq.images_l[1:7], seq.images_r[1:7])
+    assert np.asarray(out.good).all()
+    assert bvo.prev_lns is not None           # line state threads through
+    est_chunk = np.stack(bvo.trajectory)
+
+    assert ate_rmse(est_chunk, seq.poses) < 0.05
+    d = np.linalg.norm(est_chunk[:, :3, 3] - est_frame[:, :3, 3], axis=1)
+    assert d.max() < 5e-3, d.max()
