@@ -37,6 +37,13 @@ from plslam_tpu.config import SlamConfig
 from plslam_tpu.core import lie, robust
 from plslam_tpu.core.camera import StereoCamera
 
+def _einsum_hi(*args, **kw):
+    """einsum at full f32 precision: TPU-default bf16 matmul passes are
+    too coarse for normal-equation/Schur assembly (see core.lie.mm)."""
+    kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kw)
+
+
 
 class LBAProblem(NamedTuple):
     """Static-shape LBA inputs.
@@ -81,7 +88,7 @@ def _point_rj(kf_pose, pt_pos, obs_uv, obs_disp, obs_id, cam):
     Xw = pt_pos[ids]                                   # (W, K, 3)
     R = kf_pose[:, :3, :3]
     t = kf_pose[:, :3, 3]
-    Pc = jnp.einsum("w a b, w k b -> w k a", R, Xw) + t[:, None, :]
+    Pc = _einsum_hi("w a b, w k b -> w k a", R, Xw) + t[:, None, :]
     ok = (obs_id >= 0) & (Pc[..., 2] > 0.1)
     uv = cam.project(Pc)
     z = jnp.maximum(Pc[..., 2], 1e-6)
@@ -99,8 +106,8 @@ def _point_rj(kf_pose, pt_pos, obs_uv, obs_disp, obs_id, cam):
     Jproj3 = jnp.concatenate([Jproj, Jd], axis=-2)     # (W, K, 3, 3)
     I = jnp.broadcast_to(jnp.eye(3), Pc.shape[:-1] + (3, 3))
     Jse3 = jnp.concatenate([I, -lie.skew(Pc)], axis=-1)  # (W, K, 3, 6)
-    Jc = Jproj3 @ Jse3
-    Jp = jnp.einsum("w k a b, w b c -> w k a c", Jproj3, R)
+    Jc = lie.mm(Jproj3, Jse3)
+    Jp = _einsum_hi("w k a b, w b c -> w k a c", Jproj3, R)
     Jc = jnp.where(ok[..., None, None], Jc, 0.0)
     Jp = jnp.where(ok[..., None, None], Jp, 0.0)
     return r, Jc, Jp, ok
@@ -115,18 +122,18 @@ def _endpoint_rj(kf_pose, ep_pos, obs_le, obs_id, cam):
     Xw = ep_pos[ids]
     R = kf_pose[:, :3, :3]
     t = kf_pose[:, :3, 3]
-    Pc = jnp.einsum("w a b, w l b -> w l a", R, Xw) + t[:, None, :]
+    Pc = _einsum_hi("w a b, w l b -> w l a", R, Xw) + t[:, None, :]
     ok = (obs_id >= 0) & (Pc[..., 2] > 0.1)
     uv = cam.project(Pc)
     r = obs_le[..., 0] * uv[..., 0] + obs_le[..., 1] * uv[..., 1] + obs_le[..., 2]
     r = jnp.where(ok, r, 0.0)
     Jproj = cam.project_jacobian(Pc)                   # (W, L, 2, 3)
     lexy = obs_le[..., :2]
-    Jpix = jnp.einsum("w l i, w l i c -> w l c", lexy, Jproj)  # (W, L, 3)
+    Jpix = _einsum_hi("w l i, w l i c -> w l c", lexy, Jproj)  # (W, L, 3)
     I = jnp.broadcast_to(jnp.eye(3), Pc.shape[:-1] + (3, 3))
     Jse3 = jnp.concatenate([I, -lie.skew(Pc)], axis=-1)
-    Jc = jnp.einsum("w l c, w l c s -> w l s", Jpix, Jse3)     # (W, L, 6)
-    Jp = jnp.einsum("w l c, w c b -> w l b", Jpix, R)          # (W, L, 3)
+    Jc = _einsum_hi("w l c, w l c s -> w l s", Jpix, Jse3)     # (W, L, 6)
+    Jp = _einsum_hi("w l c, w c b -> w l b", Jpix, R)          # (W, L, 3)
     Jc = jnp.where(ok[..., None], Jc, 0.0)
     Jp = jnp.where(ok[..., None], Jp, 0.0)
     return r, Jc, Jp, ok
@@ -185,22 +192,22 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
     Jce = jnp.where(free[:, None, None], Jce, 0.0)
 
     # ---- camera blocks -------------------------------------------------
-    H_cc = (jnp.einsum("w k, w k i a, w k i b -> w a b", w, Jc, Jc)
-            + jnp.einsum("w l, w l a, w l b -> w a b", ws, Jcs, Jcs)
-            + jnp.einsum("w l, w l a, w l b -> w a b", we, Jce, Jce))
-    g_c = (jnp.einsum("w k, w k i a, w k i -> w a", w, Jc, r)
-           + jnp.einsum("w l, w l a, w l -> w a", ws, Jcs, rs)
-           + jnp.einsum("w l, w l a, w l -> w a", we, Jce, re))
+    H_cc = (_einsum_hi("w k, w k i a, w k i b -> w a b", w, Jc, Jc)
+            + _einsum_hi("w l, w l a, w l b -> w a b", ws, Jcs, Jcs)
+            + _einsum_hi("w l, w l a, w l b -> w a b", we, Jce, Jce))
+    g_c = (_einsum_hi("w k, w k i a, w k i -> w a", w, Jc, r)
+           + _einsum_hi("w l, w l a, w l -> w a", ws, Jcs, rs)
+           + _einsum_hi("w l, w l a, w l -> w a", we, Jce, re))
 
     # ---- landmark blocks (scatter-add over ids) ------------------------
     pid = jnp.maximum(problem.obs_pt_id, 0)
     Hpp = jnp.zeros((P, 3, 3)).at[pid.reshape(-1)].add(
-        jnp.einsum("w k, w k i a, w k i b -> w k a b", w, Jp, Jp
+        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jp, Jp
                    ).reshape(-1, 3, 3))
     g_p = jnp.zeros((P, 3)).at[pid.reshape(-1)].add(
-        jnp.einsum("w k, w k i a, w k i -> w k a", w, Jp, r).reshape(-1, 3))
+        _einsum_hi("w k, w k i a, w k i -> w k a", w, Jp, r).reshape(-1, 3))
     # H_cp dense over (W, P): scatter per-obs Jc^T w Jp blocks
-    Hcp_contrib = jnp.einsum("w k, w k i a, w k i b -> w k a b", w, Jc, Jp)
+    Hcp_contrib = _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jc, Jp)
     w_rows = jnp.broadcast_to(jnp.arange(W)[:, None], pid.shape).reshape(-1)
     H_cp = jnp.zeros((W, P, 6, 3)).at[w_rows, pid.reshape(-1)].add(
         Hcp_contrib.reshape(-1, 6, 3))
@@ -214,12 +221,12 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
     for (ids_, ww, Jcx, Jpx, rx) in ((sid, ws, Jcs, Jps, rs),
                                      (eid, we, Jce, Jpe, re)):
         Hqq = Hqq.at[ids_.reshape(-1)].add(
-            jnp.einsum("w l, w l a, w l b -> w l a b", ww, Jpx, Jpx
+            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jpx, Jpx
                        ).reshape(-1, 3, 3))
         g_q = g_q.at[ids_.reshape(-1)].add(
-            jnp.einsum("w l, w l a, w l -> w l a", ww, Jpx, rx).reshape(-1, 3))
+            _einsum_hi("w l, w l a, w l -> w l a", ww, Jpx, rx).reshape(-1, 3))
         H_cq = H_cq.at[w_rows_l, ids_.reshape(-1)].add(
-            jnp.einsum("w l, w l a, w l b -> w l a b", ww, Jcx, Jpx
+            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jcx, Jpx
                        ).reshape(-1, 6, 3))
 
     # ---- damping + landmark inverse ------------------------------------
@@ -234,13 +241,13 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
     Hqq_inv = jnp.linalg.inv(Hqq_d)
 
     # ---- Schur reduction ----------------------------------------------
-    Bp = jnp.einsum("w p a b, p b c -> w p a c", H_cp, Hpp_inv)
-    Bq = jnp.einsum("w q a b, q b c -> w q a c", H_cq, Hqq_inv)
+    Bp = _einsum_hi("w p a b, p b c -> w p a c", H_cp, Hpp_inv)
+    Bq = _einsum_hi("w q a b, q b c -> w q a c", H_cq, Hqq_inv)
     S = (H_cc_block_diag(H_cc, W)
-         - jnp.einsum("w p a b, v p c b -> w v a c", Bp, H_cp)
-         - jnp.einsum("w q a b, v q c b -> w v a c", Bq, H_cq))
-    g_red = (g_c - jnp.einsum("w p a b, p b -> w a", Bp, g_p)
-             - jnp.einsum("w q a b, q b -> w a", Bq, g_q))
+         - _einsum_hi("w p a b, v p c b -> w v a c", Bp, H_cp)
+         - _einsum_hi("w q a b, v q c b -> w v a c", Bq, H_cq))
+    g_red = (g_c - _einsum_hi("w p a b, p b -> w a", Bp, g_p)
+             - _einsum_hi("w q a b, q b -> w a", Bq, g_q))
 
     # damping + pinning of fixed/invalid poses. LM damps the diagonal of
     # the ORIGINAL normal matrix (H_cc), not of the reduced S — that keeps
@@ -258,10 +265,10 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
     dxi = jnp.where(free[:, None], dxi, 0.0)
 
     # ---- back-substitution ---------------------------------------------
-    rhs_p = g_p + jnp.einsum("w p a b, w a -> p b", H_cp, dxi)
-    d_pt = -jnp.einsum("p a b, p b -> p a", Hpp_inv, rhs_p)
-    rhs_q = g_q + jnp.einsum("w q a b, w a -> q b", H_cq, dxi)
-    d_ep = -jnp.einsum("q a b, q b -> q a", Hqq_inv, rhs_q)
+    rhs_p = g_p + _einsum_hi("w p a b, w a -> p b", H_cp, dxi)
+    d_pt = -_einsum_hi("p a b, p b -> p a", Hpp_inv, rhs_p)
+    rhs_q = g_q + _einsum_hi("w q a b, w a -> q b", H_cq, dxi)
+    d_ep = -_einsum_hi("q a b, q b -> q a", Hqq_inv, rhs_q)
     # only move landmarks that actually have observations
     d_pt = jnp.where((jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1) > 0
                       )[:, None], d_pt, 0.0)
@@ -287,7 +294,7 @@ def run_lba(problem: LBAProblem, cam: StereoCamera, cfg: SlamConfig
     def lm_iter(_, carry):
         prob, lam, cost = carry
         dxi, d_pt, d_ep = _assemble_and_solve(prob, cam, lam)
-        new_pose = jax.vmap(lambda d, T: lie.exp_se3(d) @ T)(dxi, prob.kf_pose)
+        new_pose = jax.vmap(lambda d, T: lie.mm(lie.exp_se3(d), T))(dxi, prob.kf_pose)
         trial = prob._replace(kf_pose=new_pose,
                               pt_pos=prob.pt_pos + d_pt,
                               ep_pos=prob.ep_pos + d_ep)

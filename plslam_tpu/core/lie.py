@@ -18,6 +18,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# TPU matmuls default to bfloat16 passes (~4e-3 entry error) — fatal for
+# pose math: chained 4x4 products drift and R R^T - I exceeds rotation-
+# validity tolerances. Every matrix product in this module is tiny
+# (3x3/4x4/6x6), so full-f32 precision costs nothing; mm() is the
+# mandatory product operator here.
+_HI = lax.Precision.HIGHEST
+
+
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full-precision matmul for small pose/covariance matrices."""
+    return jnp.matmul(a, b, precision=_HI)
+
 
 _EPS = 1e-8
 # Small-angle switch for the trig series, on theta^2. Must be generous in
@@ -59,7 +73,7 @@ def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     A, B, _ = _sinc_terms(theta2)
     W = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return I + A[..., None, None] * W + B[..., None, None] * (W @ W)
+    return I + A[..., None, None] * W + B[..., None, None] * mm(W, W)
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
@@ -116,7 +130,7 @@ def _left_jacobian_V(w: jnp.ndarray) -> jnp.ndarray:
     _, B, C = _sinc_terms(theta2)
     W = skew(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    return I + B[..., None, None] * W + C[..., None, None] * (W @ W)
+    return I + B[..., None, None] * W + C[..., None, None] * mm(W, W)
 
 
 def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +138,7 @@ def exp_se3(xi: jnp.ndarray) -> jnp.ndarray:
     v, w = xi[..., :3], xi[..., 3:]
     R = exp_so3(w)
     V = _left_jacobian_V(w)
-    t = (V @ v[..., None])[..., 0]
+    t = mm(V, v[..., None])[..., 0]
     T = jnp.zeros(xi.shape[:-1] + (4, 4), dtype=xi.dtype)
     T = T.at[..., :3, :3].set(R)
     T = T.at[..., :3, 3].set(t)
@@ -146,8 +160,8 @@ def log_se3(T: jnp.ndarray) -> jnp.ndarray:
     coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
                      (1.0 - A / (2.0 * B)) / t2)
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
-    Vinv = I - 0.5 * W + coef[..., None, None] * (W @ W)
-    v = (Vinv @ t[..., None])[..., 0]
+    Vinv = I - 0.5 * W + coef[..., None, None] * mm(W, W)
+    v = mm(Vinv, t[..., None])[..., 0]
     return jnp.concatenate([v, w], axis=-1)
 
 
@@ -158,7 +172,7 @@ def inverse_se3(T: jnp.ndarray) -> jnp.ndarray:
     Rt = jnp.swapaxes(R, -1, -2)
     Ti = jnp.zeros_like(T)
     Ti = Ti.at[..., :3, :3].set(Rt)
-    Ti = Ti.at[..., :3, 3].set(-(Rt @ t[..., None])[..., 0])
+    Ti = Ti.at[..., :3, 3].set(-mm(Rt, t[..., None])[..., 0])
     Ti = Ti.at[..., 3, 3].set(1.0)
     return Ti
 
@@ -167,7 +181,7 @@ def transform_points(T: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
     """Apply (..., 4, 4) to points (..., N, 3) -> (..., N, 3)."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return P @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return mm(P, jnp.swapaxes(R, -1, -2)) + t[..., None, :]
 
 
 def adjoint_se3(T: jnp.ndarray) -> jnp.ndarray:
@@ -176,7 +190,7 @@ def adjoint_se3(T: jnp.ndarray) -> jnp.ndarray:
     t = T[..., :3, 3]
     tx = skew(t)
     Z = jnp.zeros_like(R)
-    top = jnp.concatenate([R, tx @ R], axis=-1)
+    top = jnp.concatenate([R, mm(tx, R)], axis=-1)
     bot = jnp.concatenate([Z, R], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
@@ -192,6 +206,6 @@ def se3_distance(T: jnp.ndarray) -> tuple:
 def is_valid_rotation(R: jnp.ndarray, tol: float = 1e-3) -> jnp.ndarray:
     """Orthonormality + det(+1) check, batched."""
     I = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
-    ortho = jnp.max(jnp.abs(R @ jnp.swapaxes(R, -1, -2) - I), axis=(-1, -2)) < tol
+    ortho = jnp.max(jnp.abs(mm(R, jnp.swapaxes(R, -1, -2)) - I), axis=(-1, -2)) < tol
     det = jnp.abs(jnp.linalg.det(R) - 1.0) < tol
     return jnp.logical_and(ortho, det)

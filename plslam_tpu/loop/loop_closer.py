@@ -79,11 +79,12 @@ def apply_graph_correction(state, new_poses: jnp.ndarray):
     with the pose delta of its first observing KF
     (loopClosureFuseLandmarks re-anchoring half)."""
     old = state.kf_pose
-    delta = new_poses @ jax.vmap(lie.inverse_se3)(old)      # (F, 4, 4)
+    delta = lie.mm(new_poses, jax.vmap(lie.inverse_se3)(old))  # (F, 4, 4)
 
     def move(pos, first_kf):
         d = delta[jnp.maximum(first_kf, 0)]
-        moved = jnp.einsum("n a b, n b -> n a", d[:, :3, :3], pos) + d[:, :3, 3]
+        moved = jnp.einsum("n a b, n b -> n a", d[:, :3, :3], pos,
+                           precision=jax.lax.Precision.HIGHEST) + d[:, :3, 3]
         return jnp.where((first_kf >= 0)[:, None], moved, pos)
 
     return state._replace(

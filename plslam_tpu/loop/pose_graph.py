@@ -26,6 +26,13 @@ from jax import lax
 
 from plslam_tpu.core import lie
 
+def _einsum_hi(*args, **kw):
+    """einsum at full f32 precision (TPU default runs bf16 passes; too
+    coarse for pose-graph / Schur normal equations — see core.lie.mm)."""
+    kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kw)
+
+
 
 class PoseGraph(NamedTuple):
     poses: jnp.ndarray        # (F, 4, 4) T_w_kf
@@ -42,7 +49,7 @@ def edge_residuals(poses: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
     Tj = poses[g.edge_j]
     Tm_inv = jax.vmap(lie.inverse_se3)(g.edge_T)
     r = jax.vmap(lie.log_se3)(
-        Tm_inv @ jax.vmap(lie.inverse_se3)(Ti) @ Tj)
+        lie.mm(lie.mm(Tm_inv, jax.vmap(lie.inverse_se3)(Ti)), Tj))
     return jnp.where((g.edge_w > 0)[:, None], r, 0.0)
 
 
@@ -65,18 +72,18 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 12,
         w = g.edge_w
 
         # normal equations: per-edge blocks into (F, F, 6, 6)
-        Hii = jnp.einsum("e, e a p, e a q -> e p q", w, Ji, Ji)
+        Hii = _einsum_hi("e, e a p, e a q -> e p q", w, Ji, Ji)
         # J_j = I so Hjj = w I, Hij = w Ji^T
         H = jnp.zeros((F, F, 6, 6))
         eyes = jnp.broadcast_to(jnp.eye(6), Ji.shape)
         H = H.at[g.edge_i, g.edge_i].add(Hii)
         H = H.at[g.edge_j, g.edge_j].add(w[:, None, None] * eyes)
-        Hij = jnp.einsum("e, e a p -> e p a", w, Ji)   # Ji^T * I
+        Hij = _einsum_hi("e, e a p -> e p a", w, Ji)   # Ji^T * I
         H = H.at[g.edge_i, g.edge_j].add(Hij)
         H = H.at[g.edge_j, g.edge_i].add(jnp.swapaxes(Hij, -1, -2))
         gvec = jnp.zeros((F, 6))
         gvec = gvec.at[g.edge_i].add(
-            jnp.einsum("e, e a p, e a -> e p", w, Ji, r))
+            _einsum_hi("e, e a p, e a -> e p", w, Ji, r))
         gvec = gvec.at[g.edge_j].add(w[:, None] * r)
 
         # pin invalid slots and (optionally) the first valid pose
@@ -92,7 +99,7 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 12,
         dx = -jnp.linalg.solve(Hm, gvec.reshape(-1)).reshape(F, 6)
         dx = jnp.where(g.pose_valid[:, None], dx, 0.0)
         # right-perturbation update T <- T exp(dx)
-        new_poses = poses @ jax.vmap(lie.exp_se3)(dx)
+        new_poses = lie.mm(poses, jax.vmap(lie.exp_se3)(dx))
         c_new = cost(new_poses)
         ok = jnp.isfinite(c_new) & (c_new <= c)
         return (jnp.where(ok, new_poses, poses), jnp.where(ok, c_new, c))

@@ -43,6 +43,13 @@ from plslam_tpu.core import lie, robust
 from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.parallel.mesh import make_mesh, shard_map_fn
 
+def _einsum_hi(*args, **kw):
+    """einsum at full f32 precision (TPU default runs bf16 passes; too
+    coarse for pose-graph / Schur normal equations — see core.lie.mm)."""
+    kw.setdefault("precision", jax.lax.Precision.HIGHEST)
+    return jnp.einsum(*args, **kw)
+
+
 
 def _local_assemble(problem: lba_mod.LBAProblem, cam: StereoCamera,
                     axis: str):
@@ -81,22 +88,22 @@ def _local_assemble(problem: lba_mod.LBAProblem, cam: StereoCamera,
     Jcs = jnp.where(free[:, None, None], Jcs, 0.0)
     Jce = jnp.where(free[:, None, None], Jce, 0.0)
 
-    H_cc = (jnp.einsum("w k, w k i a, w k i b -> w a b", w, Jc, Jc)
-            + jnp.einsum("w l, w l a, w l b -> w a b", ws, Jcs, Jcs)
-            + jnp.einsum("w l, w l a, w l b -> w a b", we, Jce, Jce))
-    g_c = (jnp.einsum("w k, w k i a, w k i -> w a", w, Jc, r)
-           + jnp.einsum("w l, w l a, w l -> w a", ws, Jcs, rs)
-           + jnp.einsum("w l, w l a, w l -> w a", we, Jce, re))
+    H_cc = (_einsum_hi("w k, w k i a, w k i b -> w a b", w, Jc, Jc)
+            + _einsum_hi("w l, w l a, w l b -> w a b", ws, Jcs, Jcs)
+            + _einsum_hi("w l, w l a, w l b -> w a b", we, Jce, Jce))
+    g_c = (_einsum_hi("w k, w k i a, w k i -> w a", w, Jc, r)
+           + _einsum_hi("w l, w l a, w l -> w a", ws, Jcs, rs)
+           + _einsum_hi("w l, w l a, w l -> w a", we, Jce, re))
 
     pid = jnp.maximum(problem.obs_pt_id, 0)
     Hpp = jnp.zeros((Pn, 3, 3)).at[pid.reshape(-1)].add(
-        jnp.einsum("w k, w k i a, w k i b -> w k a b", w, Jp, Jp
+        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jp, Jp
                    ).reshape(-1, 3, 3))
     g_p = jnp.zeros((Pn, 3)).at[pid.reshape(-1)].add(
-        jnp.einsum("w k, w k i a, w k i -> w k a", w, Jp, r).reshape(-1, 3))
+        _einsum_hi("w k, w k i a, w k i -> w k a", w, Jp, r).reshape(-1, 3))
     w_rows = jnp.broadcast_to(jnp.arange(W)[:, None], pid.shape).reshape(-1)
     H_cp = jnp.zeros((W, Pn, 6, 3)).at[w_rows, pid.reshape(-1)].add(
-        jnp.einsum("w k, w k i a, w k i b -> w k a b", w, Jc, Jp
+        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jc, Jp
                    ).reshape(-1, 6, 3))
 
     sid = jnp.maximum(problem.obs_ln_sid, 0)
@@ -108,12 +115,12 @@ def _local_assemble(problem: lba_mod.LBAProblem, cam: StereoCamera,
     for (ids_, ww, Jcx, Jpx, rx) in ((sid, ws, Jcs, Jps, rs),
                                      (eid, we, Jce, Jpe, re)):
         Hqq = Hqq.at[ids_.reshape(-1)].add(
-            jnp.einsum("w l, w l a, w l b -> w l a b", ww, Jpx, Jpx
+            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jpx, Jpx
                        ).reshape(-1, 3, 3))
         g_q = g_q.at[ids_.reshape(-1)].add(
-            jnp.einsum("w l, w l a, w l -> w l a", ww, Jpx, rx).reshape(-1, 3))
+            _einsum_hi("w l, w l a, w l -> w l a", ww, Jpx, rx).reshape(-1, 3))
         H_cq = H_cq.at[w_rows_l, ids_.reshape(-1)].add(
-            jnp.einsum("w l, w l a, w l b -> w l a b", ww, Jcx, Jpx
+            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jcx, Jpx
                        ).reshape(-1, 6, 3))
 
     # global blocks over the landmark/observation axis
@@ -142,7 +149,7 @@ def _schur_solve_local(H_cc, g_c, Hpp, g_p, H_cp, Hqq, g_q, H_cq,
     Hpp_d = Hpp_s + (lam * jnp.maximum(
         jnp.diagonal(Hpp_s, axis1=-2, axis2=-1), 1e-3))[..., None] * eye3
     Hpp_inv = jnp.linalg.inv(Hpp_d)
-    Bp = jnp.einsum("w p a b, p b c -> w p a c", Hcp_s, Hpp_inv)
+    Bp = _einsum_hi("w p a b, p b c -> w p a c", Hcp_s, Hpp_inv)
 
     Hqq_s = shard_slice(Hqq, q_chunk)
     Hcq_s = jax.lax.dynamic_slice_in_dim(H_cq, me * q_chunk, q_chunk, axis=1)
@@ -150,12 +157,12 @@ def _schur_solve_local(H_cc, g_c, Hpp, g_p, H_cp, Hqq, g_q, H_cq,
     Hqq_d = Hqq_s + (lam * jnp.maximum(
         jnp.diagonal(Hqq_s, axis1=-2, axis2=-1), 1e-3))[..., None] * eye3
     Hqq_inv = jnp.linalg.inv(Hqq_d)
-    Bq = jnp.einsum("w q a b, q b c -> w q a c", Hcq_s, Hqq_inv)
+    Bq = _einsum_hi("w q a b, q b c -> w q a c", Hcq_s, Hqq_inv)
 
-    corr = (jnp.einsum("w p a b, v p c b -> w v a c", Bp, Hcp_s)
-            + jnp.einsum("w q a b, v q c b -> w v a c", Bq, Hcq_s))
-    g_corr = (jnp.einsum("w p a b, p b -> w a", Bp, gp_s)
-              + jnp.einsum("w q a b, q b -> w a", Bq, gq_s))
+    corr = (_einsum_hi("w p a b, v p c b -> w v a c", Bp, Hcp_s)
+            + _einsum_hi("w q a b, v q c b -> w v a c", Bq, Hcq_s))
+    g_corr = (_einsum_hi("w p a b, p b -> w a", Bp, gp_s)
+              + _einsum_hi("w q a b, q b -> w a", Bq, gq_s))
     corr = jax.lax.psum(corr, axis)          # distributed Schur reduction
     g_corr = jax.lax.psum(g_corr, axis)
 
@@ -171,12 +178,12 @@ def _schur_solve_local(H_cc, g_c, Hpp, g_p, H_cp, Hqq, g_q, H_cq,
     dxi = jnp.where(kf_free[:, None], dxi, 0.0)
 
     # stage 3: local back-substitution, then all_gather the shards
-    rhs_p = gp_s + jnp.einsum("w p a b, w a -> p b", Hcp_s, dxi)
-    d_pt_s = -jnp.einsum("p a b, p b -> p a", Hpp_inv, rhs_p)
+    rhs_p = gp_s + _einsum_hi("w p a b, w a -> p b", Hcp_s, dxi)
+    d_pt_s = -_einsum_hi("p a b, p b -> p a", Hpp_inv, rhs_p)
     d_pt_s = jnp.where((jnp.diagonal(Hpp_s, axis1=-2, axis2=-1).sum(-1) > 0
                         )[:, None], d_pt_s, 0.0)
-    rhs_q = gq_s + jnp.einsum("w q a b, w a -> q b", Hcq_s, dxi)
-    d_ep_s = -jnp.einsum("q a b, q b -> q a", Hqq_inv, rhs_q)
+    rhs_q = gq_s + _einsum_hi("w q a b, w a -> q b", Hcq_s, dxi)
+    d_ep_s = -_einsum_hi("q a b, q b -> q a", Hqq_inv, rhs_q)
     d_ep_s = jnp.where((jnp.diagonal(Hqq_s, axis1=-2, axis2=-1).sum(-1) > 0
                         )[:, None], d_ep_s, 0.0)
     d_pt = jax.lax.all_gather(d_pt_s, axis, tiled=True)

@@ -61,7 +61,7 @@ def _se3_point_jacobian(cam: StereoCamera, Pc: jnp.ndarray) -> jnp.ndarray:
     Jproj = cam.project_jacobian(Pc)                    # (N, 2, 3)
     I = jnp.broadcast_to(jnp.eye(3, dtype=Pc.dtype), Pc.shape[:-1] + (3, 3))
     Jse3 = jnp.concatenate([I, -lie.skew(Pc)], axis=-1)  # (N, 3, 6)
-    return Jproj @ Jse3
+    return lie.mm(Jproj, Jse3)
 
 
 def point_terms_rj(T: jnp.ndarray, cam: StereoCamera, terms: PointTerms
@@ -87,7 +87,8 @@ def line_terms_rj(T: jnp.ndarray, cam: StereoCamera, terms: LineTerms
         r = (terms.le_obs[:, 0] * uv[:, 0] + terms.le_obs[:, 1] * uv[:, 1]
              + terms.le_obs[:, 2])
         Jpix = _se3_point_jacobian(cam, Pc)             # (L, 2, 6)
-        J = jnp.einsum("l i, l i j -> l j", terms.le_obs[:, :2], Jpix)
+        J = jnp.einsum("l i, l i j -> l j", terms.le_obs[:, :2], Jpix,
+                       precision=lax.Precision.HIGHEST)
         return r, J, Pc[..., 2] < 0.1
 
     r_s, J_s, bs = endpoint(terms.sP)
@@ -104,10 +105,12 @@ def _assemble_normal_eqs(r_pt, J_pt, w_pt, r_ln, J_ln, w_ln):
     One einsum each — XLA lowers these to MXU matmuls over the stacked
     residual axis (the reference's per-feature accumulation loop).
     """
-    H = (jnp.einsum("k, k i p, k i q -> p q", w_pt, J_pt, J_pt)
-         + jnp.einsum("l i, l i p, l i q -> p q", w_ln, J_ln, J_ln))
-    g = (jnp.einsum("k, k i p, k i -> p", w_pt, J_pt, r_pt)
-         + jnp.einsum("l i, l i p, l i -> p", w_ln, J_ln, r_ln))
+    hi = lax.Precision.HIGHEST  # bf16 normal equations skew the solve
+    H = (jnp.einsum("k, k i p, k i q -> p q", w_pt, J_pt, J_pt, precision=hi)
+         + jnp.einsum("l i, l i p, l i q -> p q", w_ln, J_ln, J_ln,
+                      precision=hi))
+    g = (jnp.einsum("k, k i p, k i -> p", w_pt, J_pt, r_pt, precision=hi)
+         + jnp.einsum("l i, l i p, l i -> p", w_ln, J_ln, r_ln, precision=hi))
     return H, g
 
 
@@ -147,7 +150,7 @@ def optimize_pose(T0: jnp.ndarray, cam: StereoCamera, pts: PointTerms,
         dxi = -jnp.linalg.solve(H + damp * jnp.eye(6), g)
         # guard: keep the pose unchanged if the solve exploded
         ok = jnp.all(jnp.isfinite(dxi))
-        T_new = jnp.where(ok, lie.exp_se3(dxi) @ T, T)
+        T_new = jnp.where(ok, lie.mm(lie.exp_se3(dxi), T), T)
         return T_new, pt_mask, ln_mask
 
     # main robust GN on all matches
@@ -216,7 +219,7 @@ def optimize_pose_lm(T0: jnp.ndarray, cam: StereoCamera, pts: PointTerms,
         H, g = _assemble_normal_eqs(r_pt, J_pt, w_pt, r_ln, J_ln, w_ln)
         Hd = H + lam * jnp.diag(jnp.diagonal(H)) + 1e-9 * jnp.eye(6)
         dxi = -jnp.linalg.solve(Hd, g)
-        T_try = lie.exp_se3(dxi) @ T
+        T_try = lie.mm(lie.exp_se3(dxi), T)
         c_try = cost(T_try)
         accept = jnp.isfinite(c_try) & (c_try < c)
         T_new = jnp.where(accept, T_try, T)
