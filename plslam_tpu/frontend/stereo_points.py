@@ -42,33 +42,36 @@ def detect_and_describe(img: jnp.ndarray, cfg: SlamConfig
     p = cfg.points
     levels = build_pyramid(img, p.orb_nlevels, p.orb_scale_factor)
     caps = _level_capacities(2 * p.max_kpts, p.orb_nlevels, p.orb_scale_factor)
-    uvs, descs, octs, angs, scores, valids = [], [], [], [], [], []
+    uvs_lvl, octs, scores, valids = [], [], [], []
     for i, lvl in enumerate(levels):
         uv_i, s_i, v_i = fast.detect_fast(
             lvl, caps[i], th=p.fast_th / 255.0, th_min=p.fast_min_th / 255.0,
             adaptive=p.adaptative_fast, nms_radius=p.nms_radius,
             grid_rows=p.grid_rows, grid_cols=p.grid_cols,
             border=orb.PATCH_HALF + 1)
-        d_i, a_i = orb.describe(lvl, uv_i)
         scale = p.orb_scale_factor ** i
-        uvs.append(uv_i * scale)
-        descs.append(d_i)
+        uvs_lvl.append(uv_i)                     # level-local coords
         octs.append(jnp.full((caps[i],), i, jnp.int32))
-        angs.append(a_i)
         # slight preference for finer levels on ties
         scores.append(jnp.where(v_i, s_i, -jnp.inf) * (1.0 / scale))
         valids.append(v_i)
-    uv = jnp.concatenate(uvs)
-    desc = jnp.concatenate(descs)
+    uv_lvl = jnp.concatenate(uvs_lvl)
     octave = jnp.concatenate(octs)
-    angle = jnp.concatenate(angs)
     score = jnp.concatenate(scores)
     valid = jnp.concatenate(valids)
-    # global top-K across levels
+    # global top-K across levels FIRST; only the K winners get described
+    # (the candidate pool is 2x oversized — describing it all would double
+    # the descriptor gather, the most expensive part of this stage)
     k = p.max_kpts
     top_s, top_i = jax.lax.top_k(score, k)
     take = lambda x: jnp.take(x, top_i, axis=0)
-    return (take(uv), take(desc), take(octave), take(angle),
+    uv_sel = take(uv_lvl)
+    oct_sel = take(octave)
+    desc, angle = orb.describe_multilevel(levels, uv_sel, oct_sel)
+    scale_tab = jnp.asarray([p.orb_scale_factor ** i
+                             for i in range(p.orb_nlevels)], jnp.float32)
+    uv0 = uv_sel * jnp.take(scale_tab, oct_sel)[:, None]
+    return (uv0, desc, oct_sel, angle,
             jnp.where(jnp.isfinite(top_s), top_s, 0.0),
             take(valid) & jnp.isfinite(top_s))
 

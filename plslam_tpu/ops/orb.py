@@ -120,6 +120,85 @@ def orientations_at(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01[v, u], m10[v, u])
 
 
+def describe_multilevel(levels, uv: jnp.ndarray, octave: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Describe K selected keypoints across pyramid levels in ONE pass.
+
+    ``uv`` is in LEVEL-LOCAL pixel coordinates, ``octave`` gives each
+    keypoint's level. All level images (and their half-res moment maps)
+    are flattened into single concatenated buffers so the orientation
+    lookup and the 64-point descriptor pool become exactly two gathers
+    for the whole keypoint set — describing only the global top-K
+    winners instead of every per-level candidate (2x fewer samples) and
+    fusing 4 per-level gathers into 1 (measured ~2x faster end to end).
+
+    Returns (desc_bits (K, 256) uint8, angle (K,)).
+    """
+    from plslam_tpu.ops.image import resize_bilinear
+    K = uv.shape[0]
+    n_lvl = len(levels)
+
+    # --- per-level static tables -----------------------------------------
+    full_shapes = [lvl.shape for lvl in levels]
+    halves = [resize_bilinear(lvl, (s[0] // 2, s[1] // 2))
+              for lvl, s in zip(levels, full_shapes)]
+    m10s = [separable_filter2d(h, _d_h, _ONES_H) for h in halves]
+    m01s = [separable_filter2d(h, _ONES_H, _d_h) for h in halves]
+    half_shapes = [h.shape for h in halves]
+
+    def bases(shapes):
+        out = [0]
+        for (h, w) in shapes:
+            out.append(out[-1] + h * w)
+        return np.asarray(out[:-1], np.int32)
+
+    full_base = jnp.asarray(bases(full_shapes))
+    half_base = jnp.asarray(bases(half_shapes))
+    full_W = jnp.asarray([s[1] for s in full_shapes], jnp.int32)
+    full_Hm = jnp.asarray([s[0] for s in full_shapes], jnp.int32)
+    half_W = jnp.asarray([s[1] for s in half_shapes], jnp.int32)
+    half_Hm = jnp.asarray([s[0] for s in half_shapes], jnp.int32)
+
+    flat_full = jnp.concatenate([lvl.reshape(-1) for lvl in levels])
+    flat_m10 = jnp.concatenate([m.reshape(-1) for m in m10s])
+    flat_m01 = jnp.concatenate([m.reshape(-1) for m in m01s])
+
+    oct_i = jnp.clip(octave, 0, n_lvl - 1)
+    # K-length per-keypoint level constants (tiny gathers)
+    fW = jnp.take(full_W, oct_i)
+    fH = jnp.take(full_Hm, oct_i)
+    fB = jnp.take(full_base, oct_i)
+    hW = jnp.take(half_W, oct_i)
+    hH = jnp.take(half_Hm, oct_i)
+    hB = jnp.take(half_base, oct_i)
+
+    # --- orientation from the half-res moment maps -----------------------
+    u2 = jnp.clip(jnp.round(uv[:, 0] * 0.5).astype(jnp.int32), 0, hW - 1)
+    v2 = jnp.clip(jnp.round(uv[:, 1] * 0.5).astype(jnp.int32), 0, hH - 1)
+    hidx = hB + v2 * hW + u2
+    theta = jnp.arctan2(jnp.take(flat_m01, hidx), jnp.take(flat_m10, hidx))
+
+    # --- steered pool gather over the concatenated pyramid ---------------
+    bins = jnp.mod(jnp.round(theta * (N_ANGLE_BINS / (2.0 * jnp.pi))),
+                   N_ANGLE_BINS).astype(jnp.int32)
+    onehot = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=jnp.float32)
+    tables = jnp.asarray(_ROT_TABLES.reshape(N_ANGLE_BINS, -1), jnp.float32)
+    offs = jnp.dot(onehot, tables,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    offs = offs.reshape(K, N_POOL, 2)
+    u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), PATCH_HALF,
+                 fW - 1 - PATCH_HALF)
+    v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), PATCH_HALF,
+                 fH - 1 - PATCH_HALF)
+    flat_idx = (fB[:, None] + (v[:, None] + offs[..., 0]) * fW[:, None]
+                + (u[:, None] + offs[..., 1]))
+    pool = jnp.take(flat_full, flat_idx.reshape(-1), axis=0)
+    pool = pool.reshape(K, N_POOL)
+    bits = (jnp.dot(pool, jnp.asarray(_PAIR_DIFF),
+                    preferred_element_type=jnp.float32) > 0)
+    return bits.astype(jnp.uint8), theta
+
+
 def describe(img: jnp.ndarray, uv: jnp.ndarray
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Describe K keypoints on one (blurred) pyramid level.

@@ -103,6 +103,11 @@ class BatchedStereoVO:
         self.T_wc = np.eye(4, dtype=np.float32)
         self.DT_prev = np.eye(4, dtype=np.float32)
         self.trajectory = [self.T_wc.copy()]
+        self._pending = []
+        # host mirror of the last integrated step, the tracking-failure
+        # fallback during drain (DT_prev may be a device ref in pipelined
+        # mode and must not be fetched on the submit path)
+        self._last_step_host = np.eye(4, dtype=np.float32)
 
     def initialize(self, img_l: np.ndarray, img_r: np.ndarray) -> None:
         self.prev_pts, self.prev_lns = extract_one(
@@ -111,16 +116,48 @@ class BatchedStereoVO:
     def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray
                       ) -> ChunkOutput:
         """(B, H, W) arrays -> per-frame results; updates the trajectory."""
+        out = self.submit_chunk(imgs_l, imgs_r)
+        self._integrate(out)
+        return out
+
+    # -- pipelined mode -------------------------------------------------------
+    # submit_chunk only enqueues device work: the carry (last features,
+    # next prior) is threaded through as device references, so chunk k+1
+    # can be dispatched while chunk k still executes. drain() fetches the
+    # per-frame poses and integrates the trajectory. On dispatch-latency-
+    # bound rigs (remote TPU runtimes) this hides the launch + fetch
+    # round-trip behind device compute.
+
+    def submit_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray
+                     ) -> ChunkOutput:
         assert self.prev_pts is not None, "call initialize() first"
         out = vo_chunk(jnp.asarray(imgs_l), jnp.asarray(imgs_r),
                        self.prev_pts, self.prev_lns,
                        jnp.asarray(self.DT_prev), self.cam, self.cfg)
         self.prev_pts, self.prev_lns = out.last_pts, out.last_lns
+        # device-side prior for the next chunk (no host sync)
+        self.DT_prev = jnp.where(out.good[-1], out.DT[-1],
+                                 jnp.asarray(self.DT_prev))
+        self._pending.append(out)
+        return out
+
+    def drain(self) -> None:
+        """Fetch all pending chunk results and extend the trajectory."""
+        for out in self._pending:
+            self._integrate(out, update_prior=False)
+        self._pending = []
+
+    def _integrate(self, out: ChunkOutput, update_prior: bool = True) -> None:
+        if self._pending and self._pending[-1] is out:
+            self._pending.pop()
         DT = np.asarray(out.DT)
         good = np.asarray(out.good)
+        DT_prev = self._last_step_host
         for i in range(DT.shape[0]):
-            step = DT[i] if good[i] else self.DT_prev
+            step = DT[i] if good[i] else DT_prev
             self.T_wc = (self.T_wc @ np.linalg.inv(step)).astype(np.float32)
-            self.DT_prev = step.astype(np.float32)
+            DT_prev = step.astype(np.float32)
             self.trajectory.append(self.T_wc.copy())
-        return out
+        self._last_step_host = DT_prev
+        if update_prior:
+            self.DT_prev = DT_prev

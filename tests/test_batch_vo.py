@@ -44,6 +44,30 @@ def test_chunked_matches_per_frame():
     assert d.max() < 5e-3, d.max()
 
 
+def test_pipelined_matches_sync():
+    """submit_chunk/drain (two chunks in flight) must produce the same
+    trajectory as synchronous process_chunk."""
+    seq = synthetic.make_sequence(CAM, n_frames=9, seed=11, n_points=260,
+                                  n_lines=0, noise=0.003, step=0.12)
+    sync = BatchedStereoVO(CFG, CAM)
+    sync.initialize(seq.images_l[0], seq.images_r[0])
+    sync.process_chunk(seq.images_l[1:5], seq.images_r[1:5])
+    sync.process_chunk(seq.images_l[5:9], seq.images_r[5:9])
+
+    pipe = BatchedStereoVO(CFG, CAM)
+    pipe.initialize(seq.images_l[0], seq.images_r[0])
+    pipe.submit_chunk(seq.images_l[1:5], seq.images_r[1:5])
+    pipe.submit_chunk(seq.images_l[5:9], seq.images_r[5:9])
+    assert len(pipe._pending) == 2
+    pipe.drain()
+    assert not pipe._pending
+
+    a = np.stack(sync.trajectory)
+    b = np.stack(pipe.trajectory)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_chunked_point_line_matches_per_frame():
     """The flagship configuration (points + lines) through the chunked
     path must agree with the per-frame driver."""
