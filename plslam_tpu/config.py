@@ -65,7 +65,8 @@ class LineFeatureConfig:
     merge_gap_th: float = 14.0      # px, endpoint gap gate
     lbd_bands: int = 9              # LBD number of bands
     lbd_band_width: int = 7         # LBD band width in px
-    lbd_samples: int = 32           # samples along the segment
+    lbd_samples: int = 24           # samples along the segment
+    lbd_band_samples: int = 2       # sample rows per band (across)
 
 
 @dataclass(frozen=True)

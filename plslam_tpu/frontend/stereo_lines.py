@@ -34,7 +34,9 @@ def detect_and_describe_lines(img: jnp.ndarray, cfg: SlamConfig
     gx, gy = sobel_gradients(img)
     desc = lbd.describe_lines(img, segs.sp, segs.ep, n_bands=l.lbd_bands,
                               band_width=l.lbd_band_width,
-                              n_samples=l.lbd_samples, gx=gx, gy=gy)
+                              n_samples=l.lbd_samples,
+                              samples_per_band=l.lbd_band_samples,
+                              gx=gx, gy=gy)
     return segs, desc
 
 
