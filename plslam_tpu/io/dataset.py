@@ -41,26 +41,44 @@ class StereoDataset:
 
     def __init__(self, left: List[str], right: List[str],
                  camera: CameraConfig, gt_poses: Optional[np.ndarray] = None,
-                 name: str = "dataset", rectifier=None):
+                 name: str = "dataset", rect_maps=None):
         assert len(left) == len(right), "stereo list length mismatch"
         self.left = left
         self.right = right
         self.camera = camera
         self.gt_poses = gt_poses
         self.name = name
-        # raw (distorted/unaligned) rigs carry a device-side remap stage
+        # raw (distorted/unaligned) rigs carry host (u, v) remap maps
         # (pinholeStereoCamera.cpp::rectifyImagesLR parity); None = input
-        # is already rectified (KITTI)
-        self.rectifier = rectifier
+        # is already rectified (KITTI). The maps are applied inside the
+        # native prefetch pool so decode+rectify overlap device compute.
+        self.rect_maps = rect_maps
+        self._pf = None
 
     def __len__(self) -> int:
         return len(self.left)
 
+    def _prefetchers(self):
+        if self._pf is None:
+            from plslam_tpu.native.imageio import Prefetcher
+            ml, mr = self.rect_maps if self.rect_maps is not None \
+                else (None, None)
+            # rectified output shape comes from the maps; otherwise probe
+            # the first image (datasets need not match the camera config)
+            shape = None if ml is not None else _load_gray(self.left[0]).shape
+            self._pf = (Prefetcher(self.left, shape, rect_map=ml),
+                        Prefetcher(self.right, shape, rect_map=mr))
+        return self._pf
+
     def frame(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
-        il, ir = _load_gray(self.left[i]), _load_gray(self.right[i])
-        if self.rectifier is not None:
-            il, ir = self.rectifier(il, ir)
-        return il, ir
+        pf_l, pf_r = self._prefetchers()
+        return pf_l.get(i), pf_r.get(i)
+
+    def close(self) -> None:
+        if self._pf is not None:
+            for p in self._pf:
+                p.close()
+            self._pf = None
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         for i in range(len(self)):
@@ -131,22 +149,23 @@ def _quat_to_rot(qw, qx, qy, qz):
 
 def _open_euroc(path: str, start: int, count: Optional[int], step: int
                 ) -> StereoDataset:
-    """EuRoC ASL: raw distorted unaligned stereo -> full on-device
-    rectification (sensor.yaml intrinsics/extrinsics -> stereo_rectify),
-    plus ground truth from state_groundtruth_estimate0, expressed in the
-    rectified-left-camera frame so ATE compares like with like.
+    """EuRoC ASL: raw distorted unaligned stereo -> full rectification
+    (sensor.yaml intrinsics/extrinsics -> stereo_rectify; the remap runs
+    in the native prefetch pool), plus ground truth from
+    state_groundtruth_estimate0, expressed in the rectified-left-camera
+    frame so ATE compares like with like.
 
     Reference parity: the EuRoC path of dataset.cpp +
     pinholeStereoCamera's cv::stereoRectify/initUndistortRectifyMap
     usage (KITTI arrives rectified; EuRoC must be rectified here).
     """
-    from plslam_tpu.core.camera import stereo_rectify, StereoRectifier
+    from plslam_tpu.core.camera import stereo_rectify
     mav = os.path.join(path, "mav0")
     l = _sorted_images(os.path.join(mav, "cam0", "data"))
     r = _sorted_images(os.path.join(mav, "cam1", "data"))
     name = "euroc:" + os.path.basename(os.path.normpath(path))
 
-    rectifier = None
+    rect_maps = None
     camera = None
     R1 = np.eye(3)
     T_BS0 = np.eye(4)
@@ -158,7 +177,7 @@ def _open_euroc(path: str, start: int, count: Optional[int], step: int
         T_10 = np.linalg.inv(T_BS1) @ T_BS0          # x_c1 = T_10 x_c0
         map_l, map_r, camera = stereo_rectify(
             K0, d0, K1, d1, T_10[:3, :3], T_10[:3, 3], h, w)
-        rectifier = StereoRectifier(map_l, map_r)
+        rect_maps = (map_l, map_r)
         # recover R1 (left rectifying rotation) for the GT frame change
         from plslam_tpu.core.camera import _rot_sqrt
         Rh = _rot_sqrt(T_10[:3, :3])
@@ -180,7 +199,7 @@ def _open_euroc(path: str, start: int, count: Optional[int], step: int
     sl = slice(start, end, step)
     gt_sl = gt[sl] if gt is not None else None
     return StereoDataset(l[sl], r[sl], camera or CameraConfig(), gt_sl,
-                         name, rectifier=rectifier)
+                         name, rect_maps=rect_maps)
 
 
 def _load_euroc_gt(mav: str, stamps: List[str], T_BS0: np.ndarray,

@@ -150,10 +150,41 @@ int decode_file(const char* path, Image* out) {
   return rc;
 }
 
+// ---------- bilinear remap (cv::remap parity, border clamp) ----------
+void remap_bilinear(const Image& src, const float* map, int oh, int ow,
+                    Image* out) {
+  out->h = oh; out->w = ow;
+  out->data.resize((size_t)oh * ow);
+  const int sh = src.h, sw = src.w;
+  const float* s = src.data.data();
+  for (int y = 0; y < oh; y++) {
+    float* dst = out->data.data() + (size_t)y * ow;
+    const float* m = map + (size_t)y * ow * 2;
+    for (int x = 0; x < ow; x++) {
+      float u = m[2 * x], v = m[2 * x + 1];
+      if (u < 0.f) u = 0.f;
+      if (u > sw - 1.001f) u = sw - 1.001f;
+      if (v < 0.f) v = 0.f;
+      if (v > sh - 1.001f) v = sh - 1.001f;
+      int x0 = (int)u, y0 = (int)v;
+      float fx = u - x0, fy = v - y0;
+      const float* r0 = s + (size_t)y0 * sw + x0;
+      const float* r1 = r0 + sw;
+      dst[x] = (r0[0] * (1.f - fx) + r0[1] * fx) * (1.f - fy)
+             + (r1[0] * (1.f - fx) + r1[1] * fx) * fy;
+    }
+  }
+}
+
 // ---------- prefetch pool ----------
 struct Prefetcher {
   std::vector<std::string> paths;
   size_t capacity;
+  // optional undistort-rectify map: out_h*out_w (u, v) source coords,
+  // interleaved. Applied by the decode workers (cv::remap parity) so the
+  // host hands rectified frames straight to the device.
+  std::vector<float> rect_map;
+  int out_h = 0, out_w = 0;
   std::map<size_t, Image> cache;           // decoded, not yet consumed
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
@@ -169,6 +200,11 @@ struct Prefetcher {
       Image img;
       int rc = decode_file(paths[idx].c_str(), &img);
       if (rc != 0) { img.h = img.w = 0; }
+      if (rc == 0 && !rect_map.empty()) {
+        Image rect;
+        remap_bilinear(img, rect_map.data(), out_h, out_w, &rect);
+        img = std::move(rect);
+      }
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] {
         return stop.load() || cache.size() < capacity ||
@@ -209,6 +245,33 @@ void* prefetch_create(const char** paths, int n, int capacity, int n_threads) {
   for (int i = 0; i < n_threads; i++)
     p->workers.emplace_back(&Prefetcher::worker, p);
   return p;
+}
+
+void* prefetch_create_rect(const char** paths, int n, int capacity,
+                           int n_threads, const float* map,
+                           int out_h, int out_w) {
+  auto* p = new Prefetcher();
+  p->paths.assign(paths, paths + n);
+  p->capacity = (size_t)capacity;
+  if (map != nullptr && out_h > 0 && out_w > 0) {
+    p->rect_map.assign(map, map + (size_t)out_h * out_w * 2);
+    p->out_h = out_h;
+    p->out_w = out_w;
+  }
+  for (int i = 0; i < n_threads; i++)
+    p->workers.emplace_back(&Prefetcher::worker, p);
+  return p;
+}
+
+int image_remap(const float* src, int sh, int sw, const float* map,
+                int oh, int ow, float* out) {
+  Image s;
+  s.h = sh; s.w = sw;
+  s.data.assign(src, src + (size_t)sh * sw);
+  Image o;
+  remap_bilinear(s, map, oh, ow, &o);
+  std::memcpy(out, o.data.data(), o.data.size() * sizeof(float));
+  return 0;
 }
 
 int prefetch_get(void* handle, int idx, float* out, int cap) {

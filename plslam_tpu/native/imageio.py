@@ -50,6 +50,17 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         lib.prefetch_create.argtypes = [ctypes.POINTER(ctypes.c_char_p),
                                         ctypes.c_int, ctypes.c_int, ctypes.c_int]
         lib.prefetch_create.restype = ctypes.c_void_p
+        lib.prefetch_create_rect.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_int]
+        lib.prefetch_create_rect.restype = ctypes.c_void_p
+        lib.image_remap.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_float),
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_float)]
+        lib.image_remap.restype = ctypes.c_int
         lib.prefetch_get.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.POINTER(ctypes.c_float), ctypes.c_int]
         lib.prefetch_get.restype = ctypes.c_int
@@ -78,13 +89,56 @@ def load_gray(path: str) -> Optional[np.ndarray]:
     return out
 
 
+def _remap_np(src: np.ndarray, rect_map: np.ndarray) -> np.ndarray:
+    """Pure-numpy bilinear remap fallback (same border-clamp semantics)."""
+    H, W = src.shape
+    u = np.clip(rect_map[..., 0], 0.0, W - 1.001)
+    v = np.clip(rect_map[..., 1], 0.0, H - 1.001)
+    x0 = u.astype(np.int32)
+    y0 = v.astype(np.int32)
+    fx = u - x0
+    fy = v - y0
+    p00 = src[y0, x0]
+    p01 = src[y0, x0 + 1]
+    p10 = src[y0 + 1, x0]
+    p11 = src[y0 + 1, x0 + 1]
+    return ((p00 * (1 - fx) + p01 * fx) * (1 - fy)
+            + (p10 * (1 - fx) + p11 * fx) * fy).astype(np.float32)
+
+
+def remap(src: np.ndarray, rect_map: np.ndarray) -> Optional[np.ndarray]:
+    """Native bilinear remap: (H, W) image + (H', W', 2) (u, v) map.
+    Returns None if the native lib is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.float32)
+    m = np.ascontiguousarray(rect_map, np.float32)
+    oh, ow = m.shape[:2]
+    out = np.empty((oh, ow), np.float32)
+    lib.image_remap(src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    src.shape[0], src.shape[1],
+                    m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    oh, ow,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
 class Prefetcher:
-    """Background-thread decode-ahead over an ordered path list."""
+    """Background-thread decode-ahead over an ordered path list.
+
+    With ``rect_map`` ((H', W', 2) float32 source coordinates), the
+    decode workers also undistort-rectify each frame (the cv::remap
+    stage of pinholeStereoCamera.cpp::rectifyImagesLR), so host IO and
+    rectification both overlap device compute.
+    """
 
     def __init__(self, paths: List[str], shape, capacity: int = 8,
-                 n_threads: int = 2):
+                 n_threads: int = 2, rect_map: Optional[np.ndarray] = None):
         self.paths = paths
-        self.shape = shape
+        self.shape = tuple(rect_map.shape[:2]) if rect_map is not None \
+            else shape
+        self._rect_map = rect_map
         lib = _get_lib()
         self._lib = lib
         if lib is None:
@@ -92,7 +146,16 @@ class Prefetcher:
             return
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         self._keepalive = arr
-        self._handle = lib.prefetch_create(arr, len(paths), capacity, n_threads)
+        if rect_map is not None:
+            m = np.ascontiguousarray(rect_map, np.float32)
+            self._map_keepalive = m
+            self._handle = lib.prefetch_create_rect(
+                arr, len(paths), capacity, n_threads,
+                m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                m.shape[0], m.shape[1])
+        else:
+            self._handle = lib.prefetch_create(arr, len(paths), capacity,
+                                               n_threads)
 
     @property
     def native(self) -> bool:
@@ -101,7 +164,10 @@ class Prefetcher:
     def get(self, idx: int) -> np.ndarray:
         if self._handle is None:
             from plslam_tpu.io.dataset import _load_gray
-            return _load_gray(self.paths[idx])
+            img = _load_gray(self.paths[idx])
+            if self._rect_map is not None:
+                img = _remap_np(img, self._rect_map)
+            return img
         out = np.empty(self.shape, dtype=np.float32)
         n = self._lib.prefetch_get(
             self._handle, idx,

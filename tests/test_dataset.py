@@ -29,7 +29,7 @@ def test_kitti_layout(tmp_path):
     _make_kitti(root)
     ds = open_dataset(root)
     assert len(ds) == 3
-    assert ds.rectifier is None
+    assert ds.rect_maps is None
     il, ir = ds.frame(0)
     assert il.shape == (48, 64) and il.dtype == np.float32
     assert ds.gt_poses is not None and ds.gt_poses.shape == (3, 4, 4)
@@ -92,9 +92,9 @@ def test_euroc_raw_rectified(tmp_path):
     _make_euroc(root)
     ds = open_dataset(root)
     assert len(ds) == 3
-    # raw rig -> rectifier attached, rectified intrinsics (fx == fy,
+    # raw rig -> rectify maps attached, rectified intrinsics (fx == fy,
     # baseline = |T_BS1 - T_BS0| translation)
-    assert ds.rectifier is not None
+    assert ds.rect_maps is not None
     assert ds.camera.fx == ds.camera.fy
     np.testing.assert_allclose(ds.camera.baseline, 0.11, atol=1e-9)
     il, ir = ds.frame(0)
@@ -113,3 +113,34 @@ def test_euroc_frame_range(tmp_path):
     ds = open_dataset(root, start=1, count=2, step=2)
     assert len(ds) == 2
     assert ds.gt_poses.shape == (2, 4, 4)
+
+
+def test_native_remap_matches_numpy(tmp_path):
+    """The C++ prefetch-pool remap must agree with the numpy fallback
+    (and hence with the device remap it replaced)."""
+    from plslam_tpu.native import imageio as nio
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (48, 64)).astype(np.float32)
+    m = np.stack(np.meshgrid(np.arange(64, dtype=np.float32) * 0.93 + 1.7,
+                             np.arange(48, dtype=np.float32) * 1.05 - 0.4),
+                 axis=-1)
+    want = nio._remap_np(img, m)
+    got = nio.remap(img, m)
+    if got is None:
+        pytest.skip("native lib unavailable")
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_euroc_rectified_prefetch_matches_fallback(tmp_path):
+    """Frames served by the rectifying prefetch pool must equal decode +
+    numpy remap of the same source image."""
+    from plslam_tpu.native import imageio as nio
+    from plslam_tpu.io.dataset import _load_gray
+    root = str(tmp_path / "MH_03")
+    _make_euroc(root)
+    ds = open_dataset(root)
+    il, _ = ds.frame(1)
+    raw = _load_gray(ds.left[1])
+    want = nio._remap_np(raw, ds.rect_maps[0])
+    np.testing.assert_allclose(il, want, atol=1e-5)
+    ds.close()
