@@ -55,6 +55,9 @@ class LineFeatureConfig:
     """LSD/LBD-style line front-end (reference: config.h line params)."""
     has_lines: bool = True
     max_lines: int = 128            # static capacity (ref: lsd_nfeatures=300)
+    use_fld_lines: bool = False     # fast detector variant (ref: FLD vs LSD):
+                                    # detect on a 2x-downsampled image —
+                                    # ~4x cheaper, coarser endpoints
     tile: int = 16                  # tile size for the tile-fit detector
     min_line_length: float = 0.025  # fraction of image diagonal (ref: min_line_length)
     grad_th: float = 5.3            # gradient magnitude threshold (~LSD quant)

@@ -25,12 +25,32 @@ def detect_and_describe_lines(img: jnp.ndarray, cfg: SlamConfig
     l = cfg.lines
     H, W = img.shape
     diag = (H * H + W * W) ** 0.5
-    segs = lines.detect_segments(
-        img, max_lines=l.max_lines, tile=l.tile,
-        grad_th=l.grad_th / 255.0,
-        merge_iters=max(l.merge_iters * 3, 8),
-        merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
-        min_length=l.min_line_length * diag)
+    if l.use_fld_lines:
+        # FLD-equivalent operating point (stvo-pl config.h use_fld_lines):
+        # the reference swaps LSD for the faster, coarser FLD; here the
+        # same tile detector runs on a 2x-downsampled image (4x fewer
+        # tiles + 4x cheaper gradients), endpoints scaled back up. LBD
+        # still samples the full-resolution gradients.
+        from plslam_tpu.ops.image import resize_bilinear
+        small = resize_bilinear(img, (H // 2, W // 2))
+        # gates retuned for half-res evidence: gradient mass per tile
+        # halves and thin ridges blur, so support/elongation thresholds
+        # drop accordingly (validated on synthetic ground-truth scenes)
+        segs = lines.detect_segments(
+            small, max_lines=l.max_lines, tile=l.tile,
+            grad_th=l.grad_th / 255.0 * 0.5,
+            min_support=0.5, elong_th=1.8,
+            merge_iters=max(l.merge_iters * 3, 8),
+            merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
+            min_length=l.min_line_length * diag * 0.5)
+        segs = segs._replace(sp=segs.sp * 2.0, ep=segs.ep * 2.0)
+    else:
+        segs = lines.detect_segments(
+            img, max_lines=l.max_lines, tile=l.tile,
+            grad_th=l.grad_th / 255.0,
+            merge_iters=max(l.merge_iters * 3, 8),
+            merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
+            min_length=l.min_line_length * diag)
     gx, gy = sobel_gradients(img)
     desc = lbd.describe_lines(img, segs.sp, segs.ep, n_bands=l.lbd_bands,
                               band_width=l.lbd_band_width,

@@ -56,7 +56,15 @@ def vo_chunk(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
     Extraction (points + lines when ``cfg.lines.has_lines``) is batched
     over frames; the tracking recurrence (constant-velocity prior
     threading + joint robust GN) scans over them.
+
+    Accepts uint8 images (converted to [0, 1] f32 on device): the
+    host->device image stream is 4x smaller, which is the wall-clock
+    bottleneck on PCIe/tunnel-attached accelerators (source images are
+    8-bit anyway, so nothing is lost).
     """
+    if imgs_l.dtype == jnp.uint8:
+        imgs_l = imgs_l.astype(jnp.float32) * (1.0 / 255.0)
+        imgs_r = imgs_r.astype(jnp.float32) * (1.0 / 255.0)
     pts, lns = jax.vmap(lambda a, b: extract_stereo_frame(a, b, cam, cfg)
                         )(imgs_l, imgs_r)
 

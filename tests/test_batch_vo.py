@@ -68,6 +68,29 @@ def test_pipelined_matches_sync():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_uint8_transport_matches_f32():
+    """uint8 chunk upload (4x less host->device traffic) must track the
+    same trajectory as f32 input of the same quantized images."""
+    seq = synthetic.make_sequence(CAM, n_frames=5, seed=5, n_points=260,
+                                  n_lines=0, noise=0.003, step=0.12)
+    u8_l = np.clip(seq.images_l * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    u8_r = np.clip(seq.images_r * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+    a = BatchedStereoVO(CFG, CAM)
+    a.initialize(u8_l[0].astype(np.float32) / 255.0,
+                 u8_r[0].astype(np.float32) / 255.0)
+    a.process_chunk(u8_l[1:5], u8_r[1:5])
+
+    b = BatchedStereoVO(CFG, CAM)
+    b.initialize(u8_l[0].astype(np.float32) / 255.0,
+                 u8_r[0].astype(np.float32) / 255.0)
+    b.process_chunk(u8_l[1:5].astype(np.float32) / 255.0,
+                    u8_r[1:5].astype(np.float32) / 255.0)
+
+    np.testing.assert_allclose(np.stack(a.trajectory),
+                               np.stack(b.trajectory), atol=1e-5)
+
+
 def test_chunked_point_line_matches_per_frame():
     """The flagship configuration (points + lines) through the chunked
     path must agree with the per-frame driver."""

@@ -84,3 +84,26 @@ def test_lbd_descriptor_repeatable(line_seq):
     best = dist.min(axis=1)[valid_l]
     # matched stereo lines should be well under the random expectation (128)
     assert np.median(best) < 60, np.median(best)
+
+
+def test_fld_variant_detects_and_tracks(line_seq):
+    """use_fld_lines parity: the half-res fast detector still yields
+    usable stereo line matches and a correct lines-only pose solve."""
+    from plslam_tpu.core import lie
+    # lines-only + fast detector is the sparsest corner: ~15 stereo lines
+    # on this scene, so the solution gate must accept fewer features
+    # (min_features is a reference tunable, default 12)
+    cfg = CFG_L.with_updates({"lines": {"use_fld_lines": True},
+                              "tracking": {"min_features": 8}})
+    seq = line_seq
+    p0, l0 = extract_stereo_frame(jnp.asarray(seq.images_l[0]),
+                                  jnp.asarray(seq.images_r[0]), CAM, cfg)
+    n = int(l0.valid.sum())
+    assert n >= 8, f"too few FLD stereo line matches: {n}"
+    p1, l1 = extract_stereo_frame(jnp.asarray(seq.images_l[1]),
+                                  jnp.asarray(seq.images_r[1]), CAM, cfg)
+    out = track_step(p0, l0, p1, l1, jnp.eye(4), CAM, cfg)
+    assert bool(out.pose.good)
+    T_gt = np.linalg.inv(seq.poses[1]) @ seq.poses[0]
+    d = lie.log_se3(lie.inverse_se3(jnp.asarray(T_gt)) @ out.pose.T)
+    assert float(jnp.linalg.norm(d[:3])) < 0.12   # coarser endpoints: wider band
