@@ -21,6 +21,61 @@ from plslam_tpu.apps.plstvo_dataset import (build_argparser, load_config,
                                             open_frames, save_tum)
 
 
+def _main_chunked(args, cfg, ds) -> int:
+    """Chunked full SLAM: B frames per device dispatch, KF decisions on
+    host, mapping + loop closure on the worker thread."""
+    import numpy as np
+    from plslam_tpu.core.camera import StereoCamera
+    from plslam_tpu.backend.slam_system import ChunkedPLSLAM
+    from plslam_tpu.utils.evaluation import ate_rmse, rpe
+
+    cam = StereoCamera.from_config(ds.camera)
+    slam = ChunkedPLSLAM(cfg, cam, enable_loops=not args.no_loops)
+    n = len(ds)
+    B = args.chunk
+    img_l, img_r = ds.frame(0)
+    slam.initialize(img_l, img_r)
+    t_start = None
+    n_timed = 0
+    i = 1
+    def as_u8(frames):
+        # 8-bit transport: 4x less host->device traffic (see vo_chunk)
+        return np.stack([np.clip(f * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                         for f in frames])
+
+    while i < n:
+        j = min(i + B, n)
+        ls, rs = zip(*(ds.frame(k) for k in range(i, j)))
+        n_real = j - i
+        if n_real < B:
+            ls = ls + (ls[-1],) * (B - n_real)
+            rs = rs + (rs[-1],) * (B - n_real)
+        slam.process_chunk(as_u8(ls), as_u8(rs), n_valid=n_real)
+        if t_start is None:
+            t_start = time.perf_counter()     # first chunk = compile warmup
+        else:
+            n_timed += n_real
+        i = j
+    est = slam.finish()
+    wall = time.perf_counter() - t_start if t_start else 0.0
+    fps = n_timed / wall if wall > 0 and n_timed else float("nan")
+
+    n_pts, n_lns = slam.map.n_landmarks()
+    n_loops = slam.loop_closer.n_loops_closed if slam.loop_closer else 0
+    print(f"\nPL-SLAM (chunked B={B}): {n} frames, {slam._kf_slot + 1} KFs, "
+          f"{n_pts} map points, {n_lns} map lines, {n_loops} loops, "
+          f"{fps:.1f} fps (wall, steady-state incl. IO + mapping)")
+    if ds.gt_poses is not None:
+        a = ate_rmse(est, ds.gt_poses[:len(est)])
+        t_r, r_r = rpe(est, ds.gt_poses[:len(est)])
+        print(f"ATE RMSE: {a:.4f} m | RPE: {t_r:.4f} m / "
+              f"{np.rad2deg(r_r):.4f} deg")
+    if args.out:
+        save_tum(args.out, est)
+        print("trajectory saved to", args.out)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = build_argparser(__doc__)
     ap.add_argument("--no-loops", action="store_true",
@@ -38,6 +93,8 @@ def main(argv=None) -> int:
     if args.no_loops:
         cfg = cfg.with_updates({"loop": {"enabled": False}})
     ds = open_frames(args, cfg)
+    if args.chunk > 0:
+        return _main_chunked(args, cfg, ds)
 
     from plslam_tpu.core.camera import StereoCamera
     from plslam_tpu.backend.slam_system import PLSLAM

@@ -237,8 +237,8 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
     Hqq_d = Hqq + (lam * jnp.maximum(
         jnp.diagonal(Hqq, axis1=-2, axis2=-1), 1e-3
     ))[..., None] * eye3
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
-    Hqq_inv = jnp.linalg.inv(Hqq_d)
+    Hpp_inv = lie.inv3(Hpp_d)
+    Hqq_inv = lie.inv3(Hqq_d)
 
     # ---- Schur reduction ----------------------------------------------
     Bp = _einsum_hi("w p a b, p b c -> w p a c", H_cp, Hpp_inv)

@@ -80,6 +80,24 @@ def run_window_lba(state: MapState, cam: StereoCamera, cfg: SlamConfig
     return new_state, res.cost0, res.cost1
 
 
+@partial(jax.jit, static_argnames=("cfg", "run_lba_flag"))
+def mapping_step(state: MapState, pts, lns, T_w_kf, cam: StereoCamera,
+                 cfg: SlamConfig, run_lba_flag: bool = True):
+    """The full per-KF back-end pipeline as ONE device program:
+    KF insertion + map matching + triangulation, windowed LBA,
+    redundant-KF removal, landmark culling. Fusing these (they were four
+    dispatches) matters on dispatch-latency-bound runtimes — the mapping
+    thread shares the chip's single execution stream with tracking, so
+    every saved round-trip is tracking throughput."""
+    state, diag = add_keyframe(state, pts, lns, T_w_kf, cam, cfg)
+    c0 = c1 = jnp.asarray(0.0)
+    if run_lba_flag:
+        state, c0, c1 = run_window_lba(state, cam, cfg)
+        state, _ = remove_redundant_kfs(state, cfg)
+    state = cull_landmarks(state, cfg)
+    return state, diag, c0, c1
+
+
 class KeyFrameSummary(NamedTuple):
     slot: int
     T_w_kf: np.ndarray          # corrected pose after LBA
@@ -111,51 +129,61 @@ class MapHandler:
             self._worker.start()
 
     # -- keyframe ingestion --------------------------------------------------
-    def add_keyframe(self, pts, lns, T_w_kf: np.ndarray, run_lba: bool = True
-                     ) -> Optional[KeyFrameSummary]:
+    def add_keyframe(self, pts, lns, T_w_kf: np.ndarray, run_lba: bool = True,
+                     on_done=None) -> Optional[KeyFrameSummary]:
+        """``on_done(summary)`` runs after the KF is processed — on the
+        worker thread in async mode (so e.g. loop-closure checks ride the
+        mapping thread instead of blocking the tracker), inline in sync
+        mode."""
         if self._async:
-            self._queue.put((pts, lns, np.asarray(T_w_kf), run_lba))
+            self._queue.put((pts, lns, np.asarray(T_w_kf), run_lba, on_done))
             return None
-        return self._process(pts, lns, T_w_kf, run_lba)
+        summary = self._process(pts, lns, T_w_kf, run_lba)
+        if on_done is not None:
+            on_done(summary)
+        return summary
 
     def _work_loop(self):
         while True:
             job = self._queue.get()
             if job is None:
+                self._queue.task_done()
                 return
             try:
-                self._process(*job)
+                summary = self._process(*job[:4])
+                if job[4] is not None:
+                    job[4](summary)
             except Exception as e:  # surfaced via summaries
                 print(f"[map_handler] worker error: {e!r}")
+            finally:
+                self._queue.task_done()
 
     def _process(self, pts, lns, T_w_kf, run_lba_flag) -> KeyFrameSummary:
         with self._lock:
-            state, diag = add_keyframe(self.state, pts, lns,
-                                       jnp.asarray(T_w_kf, jnp.float32),
-                                       self.cam, self.cfg)
-            c0 = c1 = jnp.asarray(0.0)
-            if run_lba_flag:
-                state, c0, c1 = run_window_lba(state, self.cam, self.cfg)
-                state, _ = remove_redundant_kfs(state, self.cfg)
-            state = cull_landmarks(state, self.cfg)
+            state, diag, c0, c1 = mapping_step(
+                self.state, pts, lns, jnp.asarray(T_w_kf, jnp.float32),
+                self.cam, self.cfg, run_lba_flag=bool(run_lba_flag))
             self.state = state
-            slot = int(diag["kf_slot"])
+            # one batched host fetch for the whole summary (each separate
+            # np.asarray is a full runtime round-trip)
+            slot_d = diag["kf_slot"]
+            fetched = jax.device_get(
+                (slot_d, jnp.take(state.kf_pose, slot_d, axis=0),
+                 diag["n_map_matches"], diag["n_new_points"], c0, c1))
             summary = KeyFrameSummary(
-                slot=slot,
-                T_w_kf=np.asarray(state.kf_pose[slot]),
-                n_map_matches=int(diag["n_map_matches"]),
-                n_new_points=int(diag["n_new_points"]),
-                lba_cost0=float(c0), lba_cost1=float(c1))
+                slot=int(fetched[0]), T_w_kf=np.asarray(fetched[1]),
+                n_map_matches=int(fetched[2]), n_new_points=int(fetched[3]),
+                lba_cost0=float(fetched[4]), lba_cost1=float(fetched[5]))
             self.summaries.append(summary)
             return summary
 
     # -- queries -------------------------------------------------------------
     def wait_idle(self):
-        """Block until the mapping queue drains (finishSLAM parity)."""
+        """Block until every queued KF job (and its on_done hook) has
+        finished (finishSLAM parity). queue.join() — not empty()-polling,
+        which would return while the worker is mid-job."""
         if self._async:
-            while not self._queue.empty():
-                import time
-                time.sleep(0.005)
+            self._queue.join()
 
     def kf_poses(self) -> np.ndarray:
         with self._lock:

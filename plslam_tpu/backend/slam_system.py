@@ -96,3 +96,122 @@ class PLSLAM:
             out.append(kf_poses[slot] @ T_rel)
         self.map.close()
         return np.stack(out)
+
+
+class ChunkedPLSLAM:
+    """Full SLAM on the chunked/pipelined tracker: B frames per device
+    dispatch (tracking.batch_vo with ``keep_feats``), host-side KF
+    decisions from the fetched per-frame covariances, KF features sliced
+    out of the chunk's device-resident feature stack, mapping + loop
+    closure on the worker thread.
+
+    Back-end corrections (LBA, loops) are applied at trajectory
+    recomposition time (``finish``) rather than fed back mid-chunk — the
+    async-mapping analogue of the reference's delayed correction
+    pickup. Odometry quality within a chunk is unaffected.
+    """
+
+    def __init__(self, cfg: SlamConfig, cam: Optional[StereoCamera] = None,
+                 enable_loops: Optional[bool] = None):
+        from plslam_tpu.tracking.batch_vo import BatchedStereoVO
+        from plslam_tpu.tracking.frame_handler import KeyframeCriterion
+        from plslam_tpu.backend.map_handler import MapHandler
+        self.cfg = cfg
+        self.cam = cam if cam is not None else StereoCamera.from_config(cfg.camera)
+        self.vo = BatchedStereoVO(cfg, self.cam)
+        self.map = MapHandler(cfg, self.cam)
+        self.kf_criterion = KeyframeCriterion(cfg)
+        self.enable_loops = (cfg.loop.enabled if enable_loops is None
+                             else enable_loops)
+        self.loop_closer = None
+        if self.enable_loops:
+            from plslam_tpu.loop.loop_closer import LoopCloser
+            self.loop_closer = LoopCloser(cfg, self.cam)
+        self._frame_anchor = []
+        self._kf_slot = -1
+        self._T_kf_at_insert = np.eye(4, dtype=np.float32)
+        self._T_kf = np.eye(4, dtype=np.float32)
+        self._take = None          # jitted per-frame feature slicer
+        self._inflight = []        # n_valid per pending chunk
+
+    def initialize(self, img_l: np.ndarray, img_r: np.ndarray) -> None:
+        self.vo.initialize(img_l, img_r)
+        on_done = None
+        if self.loop_closer is not None:
+            on_done = (lambda s:
+                       self.loop_closer.on_keyframe(self.map, s.slot))
+        self.map.add_keyframe(self.vo.prev_pts, self.vo.prev_lns,
+                              np.eye(4, dtype=np.float32), run_lba=False,
+                              on_done=on_done)
+        self._kf_slot = 0
+        self._frame_anchor = [(0, np.eye(4, dtype=np.float32))]
+
+    def _slice_frame(self, feats, i: int):
+        import jax
+        from plslam_tpu.ops import hamming
+        if self._take is None:
+            def take(f, k):
+                out = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, k, axis=0), f)
+                # chunk feature stacks carry bit-packed descriptors
+                return out._replace(desc=hamming.unpack_bits(out.desc))
+            self._take = jax.jit(take)
+        return self._take(feats, jnp.asarray(i, jnp.int32))
+
+    def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
+                      n_valid: Optional[int] = None) -> int:
+        """Track a (B, H, W) chunk; returns the number of new KFs
+        settled so far. Pipelined: the chunk is only SUBMITTED here; the
+        host-side work (fetch, KF decisions, mapping hand-off) happens
+        for the previous chunk while this one executes on device."""
+        self.vo.submit_chunk(imgs_l, imgs_r, keep_feats=True)
+        self._inflight.append(n_valid)
+        if len(self._inflight) >= 2:
+            return self._settle_one()
+        return 0
+
+    def _settle_one(self) -> int:
+        import jax
+        out = self.vo._pending[0]
+        n_valid = self._inflight.pop(0)
+        base = len(self.vo.trajectory)
+        DT, cov, good = jax.device_get((out.DT, out.cov, out.good))
+        self.vo._integrate(out, update_prior=False)
+        B = DT.shape[0] if n_valid is None else n_valid
+        new_kfs = []
+        for i in range(B):
+            T_wc = self.vo.trajectory[base + i]
+            T_rel = np.linalg.inv(self._T_kf_at_insert) @ T_wc
+            self._frame_anchor.append((self._kf_slot, T_rel.astype(np.float32)))
+            is_kf, _ = self.kf_criterion.update(
+                DT[i], cov[i], bool(good[i]),
+                np.linalg.inv(self._T_kf) @ T_wc)
+            if is_kf:
+                pts_i = self._slice_frame(out.all_pts, i)
+                lns_i = (self._slice_frame(out.all_lns, i)
+                         if out.all_lns is not None else None)
+                # loop detection rides the mapping worker (on_done), so
+                # the tracking path never blocks on the back-end
+                on_done = None
+                if self.loop_closer is not None:
+                    on_done = (lambda s:
+                               self.loop_closer.on_keyframe(self.map, s.slot))
+                self.map.add_keyframe(pts_i, lns_i, T_wc, on_done=on_done)
+                self._kf_slot += 1
+                self._T_kf_at_insert = T_wc.copy()
+                self._T_kf = T_wc.copy()
+                new_kfs.append(self._kf_slot)
+        return len(new_kfs)
+
+    def finish(self) -> np.ndarray:
+        while self._inflight:
+            self._settle_one()
+        self.vo.drain()
+        self.map.wait_idle()
+        kf_poses = self.map.kf_poses()
+        out = []
+        for kf_slot, T_rel in self._frame_anchor:
+            slot = min(kf_slot, len(kf_poses) - 1)
+            out.append(kf_poses[slot] @ T_rel)
+        self.map.close()
+        return np.stack(out)

@@ -40,6 +40,52 @@ _EPS = 1e-8
 _SMALL_THETA2 = 1e-4
 
 
+def inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form Cholesky inverse of SPD (..., 3, 3) matrices.
+
+    jnp.linalg.inv on batched 3x3s lowers to a general LU path that
+    measured ~870x slower on TPU (7 ms vs 8 us at batch 8192); the
+    Schur-complement LBA inverts its landmark blocks every LM iteration,
+    so this is the back-end's hottest primitive. Every caller's blocks
+    are symmetric positive definite (J^T W J plus LM damping), where the
+    Cholesky route is numerically stable — unlike the adjugate formula,
+    which cancels catastrophically on the ill-conditioned blocks of
+    weakly-observed landmarks.
+
+    Blocks are scale-normalized first so damped-but-empty landmark
+    blocks (~1e-7 I) stay well inside f32 range.
+    """
+    s = jnp.maximum(jnp.max(jnp.abs(M), axis=(-2, -1)), 1e-30)
+    M = M / s[..., None, None]
+    eps = 1e-20
+    a11, a21, a31 = M[..., 0, 0], M[..., 1, 0], M[..., 2, 0]
+    a22, a32, a33 = M[..., 1, 1], M[..., 2, 1], M[..., 2, 2]
+    l11 = jnp.sqrt(jnp.maximum(a11, eps))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, eps))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, eps))
+    # closed-form inverse of the lower-triangular factor
+    i11 = 1.0 / l11
+    i22 = 1.0 / l22
+    i33 = 1.0 / l33
+    i21 = -l21 * i11 * i22
+    i32 = -l32 * i22 * i33
+    i31 = (l21 * l32 - l31 * l22) * i11 * i22 * i33
+    # inv(M) = Linv^T Linv
+    m11 = i11 * i11 + i21 * i21 + i31 * i31
+    m12 = i21 * i22 + i31 * i32
+    m13 = i31 * i33
+    m22 = i22 * i22 + i32 * i32
+    m23 = i32 * i33
+    m33 = i33 * i33
+    out = jnp.stack([jnp.stack([m11, m12, m13], -1),
+                     jnp.stack([m12, m22, m23], -1),
+                     jnp.stack([m13, m23, m33], -1)], -2)
+    return out / s[..., None, None]
+
+
 def skew(w: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) -> (..., 3, 3) skew-symmetric matrix (auxiliar.cpp::skew)."""
     wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]

@@ -95,6 +95,36 @@ def apply_graph_correction(state, new_poses: jnp.ndarray):
         ln_epos=move(state.ln_epos, state.ln_first_kf))
 
 
+def _make_kf_probe(voc_p, voc_l, cfg: SlamConfig, has_lines: bool):
+    """insertKFBowVectorP/L + database query + covisibility counts fused
+    into one program. The vocabularies are closed over (their tree-shape
+    ints are Python loop bounds, so they cannot be jit arguments).
+    Returns fn(state, bows_p, bows_l, slot) ->
+    (bows_p, bows_l, scores, covis, pose)."""
+    from plslam_tpu.loop.vocabulary import bow_vector, l1_score
+
+    @jax.jit
+    def probe(state, bows_p, bows_l, slot):
+        desc_p = hamming.unpack_bits(state.kf_pt_desc[slot].reshape(-1, 8))
+        valid_p = state.obs_pt_disp[slot] > 0
+        vp = bow_vector(voc_p, desc_p, valid_p)
+        bows_p2 = bows_p.at[slot].set(vp)
+        s = l1_score(bows_p2, vp[None, :])
+        bows_l2 = bows_l
+        if has_lines:
+            desc_l = hamming.unpack_bits(
+                state.kf_ln_desc[slot].reshape(-1, 8))
+            valid_l = state.obs_ln_lm[slot] >= 0
+            vl = bow_vector(voc_l, desc_l, valid_l)
+            bows_l2 = bows_l.at[slot].set(vl)
+            s = 0.5 * (s + l1_score(bows_l2, vl[None, :]))
+        covis = covisibility_counts(state.obs_pt_lm, slot,
+                                    cfg.mapping.max_points)
+        return bows_p2, bows_l2, s, covis, state.kf_pose[slot]
+
+    return probe
+
+
 class LoopEvent(NamedTuple):
     kf_from: int
     kf_to: int
@@ -123,26 +153,28 @@ class LoopCloser:
         self.events = []
         self.n_loops_closed = 0
         self._last_pose = None
+        self._probe = None           # lazily-built fused per-KF program
 
     # -- main entry (called by PLSLAM on every new KF) -----------------------
     def on_keyframe(self, map_handler, slot: int) -> Optional[np.ndarray]:
+        """Per-KF place-recognition step as ONE device program + ONE
+        batched fetch (BoW transform/insert, fused dual-vocabulary query,
+        covisibility counts): the mapping thread shares the chip's
+        execution stream with tracking, so round-trips here are tracking
+        throughput."""
         cfg = self.cfg
         with map_handler._lock:
             state = map_handler.state
-            desc_p = hamming.unpack_bits(state.kf_pt_desc[slot].reshape(-1, 8))
-            valid_p = state.obs_pt_disp[slot] > 0
-            desc_l = valid_l = None
-            if self.db.bows_l is not None:
-                desc_l = hamming.unpack_bits(
-                    state.kf_ln_desc[slot].reshape(-1, 8))
-                valid_l = state.obs_ln_lm[slot] >= 0
-            pose = np.asarray(state.kf_pose[slot])
-            n_kfs = int(state.n_kfs)
-            covis = np.asarray(covisibility_counts(
-                state.obs_pt_lm, jnp.asarray(slot),
-                cfg.mapping.max_points))
-            kf_poses = np.asarray(state.kf_pose)
-        self.db.insert(slot, desc_p, valid_p, desc_l, valid_l)
+            if self._probe is None:
+                self._probe = _make_kf_probe(
+                    self.db.voc_p, self.db.voc_l, cfg,
+                    self.db.bows_l is not None)
+            (self.db.bows_p, self.db.bows_l, s_d, covis_d,
+             pose_d) = self._probe(state, self.db.bows_p, self.db.bows_l,
+                                   jnp.asarray(slot))
+            scores, covis, pose, n_kfs, kf_poses = jax.device_get(
+                (s_d, covis_d, pose_d, state.n_kfs, state.kf_pose))
+            n_kfs = int(n_kfs)
 
         # odometry edge from the previous KF
         if self._last_pose is not None:
@@ -163,7 +195,9 @@ class LoopCloser:
 
         if slot < cfg.loop.min_kf_separation:
             return None
-        scores = self.db.query(slot, n_kfs)
+        scores = scores.copy()              # db.query masking, host-side
+        scores[slot:] = 0.0
+        scores[n_kfs:] = 0.0
         candidates, baseline = select_candidates(scores, slot, cfg)
         fired = self.voter.vote(candidates)
         if fired is None:

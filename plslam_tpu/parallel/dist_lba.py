@@ -148,7 +148,7 @@ def _schur_solve_local(H_cc, g_c, Hpp, g_p, H_cp, Hqq, g_q, H_cq,
     gp_s = shard_slice(g_p, p_chunk)
     Hpp_d = Hpp_s + (lam * jnp.maximum(
         jnp.diagonal(Hpp_s, axis1=-2, axis2=-1), 1e-3))[..., None] * eye3
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hpp_inv = lie.inv3(Hpp_d)
     Bp = _einsum_hi("w p a b, p b c -> w p a c", Hcp_s, Hpp_inv)
 
     Hqq_s = shard_slice(Hqq, q_chunk)
@@ -156,7 +156,7 @@ def _schur_solve_local(H_cc, g_c, Hpp, g_p, H_cp, Hqq, g_q, H_cq,
     gq_s = shard_slice(g_q, q_chunk)
     Hqq_d = Hqq_s + (lam * jnp.maximum(
         jnp.diagonal(Hqq_s, axis1=-2, axis2=-1), 1e-3))[..., None] * eye3
-    Hqq_inv = jnp.linalg.inv(Hqq_d)
+    Hqq_inv = lie.inv3(Hqq_d)
     Bq = _einsum_hi("w q a b, q b c -> w q a c", Hcq_s, Hqq_inv)
 
     corr = (_einsum_hi("w p a b, v p c b -> w v a c", Bp, Hcp_s)

@@ -43,14 +43,19 @@ class ChunkOutput(NamedTuple):
     good: jnp.ndarray        # (B,)
     last_pts: PointObservations             # final frame's features (carry out)
     last_lns: Optional[LineObservations]
+    all_pts: Optional[PointObservations] = None   # (B, ...) per-frame feats
+    all_lns: Optional[LineObservations] = None    # (keep_feats mode, device-
+                                                  #  resident; the SLAM driver
+                                                  #  slices KFs out of them)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "keep_feats"))
 def vo_chunk(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
              prev_pts: PointObservations,
              prev_lns: Optional[LineObservations],
              T_prior0: jnp.ndarray,
-             cam: StereoCamera, cfg: SlamConfig) -> ChunkOutput:
+             cam: StereoCamera, cfg: SlamConfig,
+             keep_feats: bool = False) -> ChunkOutput:
     """Process (B, H, W) stereo chunks in one program.
 
     Extraction (points + lines when ``cfg.lines.has_lines``) is batched
@@ -87,7 +92,18 @@ def vo_chunk(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
 
     (last_p, last_l, _), (DT, cov, ninl, err, good) = lax.scan(
         body, (prev_pts, prev_lns, T_prior0), (pts, lns))
-    return ChunkOutput(DT, cov, ninl, err, good, last_p, last_l)
+    all_pts = all_lns = None
+    if keep_feats:
+        # descriptors ride the feature stack bit-PACKED (u8 bits -> u32
+        # words, 8x smaller): chunk outputs cross the host link on
+        # runtimes that commit output buffers eagerly, and desc is ~80%
+        # of the feature bytes. The SLAM driver unpacks at KF-slice time.
+        from plslam_tpu.ops import hamming
+        all_pts = pts._replace(desc=jax.vmap(hamming.pack_bits)(pts.desc))
+        all_lns = (lns._replace(desc=jax.vmap(hamming.pack_bits)(lns.desc))
+                   if lns is not None else None)
+    return ChunkOutput(DT, cov, ninl, err, good, last_p, last_l,
+                       all_pts=all_pts, all_lns=all_lns)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -136,12 +152,13 @@ class BatchedStereoVO:
     # bound rigs (remote TPU runtimes) this hides the launch + fetch
     # round-trip behind device compute.
 
-    def submit_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray
-                     ) -> ChunkOutput:
+    def submit_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
+                     keep_feats: bool = False) -> ChunkOutput:
         assert self.prev_pts is not None, "call initialize() first"
         out = vo_chunk(jnp.asarray(imgs_l), jnp.asarray(imgs_r),
                        self.prev_pts, self.prev_lns,
-                       jnp.asarray(self.DT_prev), self.cam, self.cfg)
+                       jnp.asarray(self.DT_prev), self.cam, self.cfg,
+                       keep_feats=keep_feats)
         self.prev_pts, self.prev_lns = out.last_pts, out.last_lns
         # device-side prior for the next chunk (no host sync)
         self.DT_prev = jnp.where(out.good[-1], out.DT[-1],
@@ -156,10 +173,8 @@ class BatchedStereoVO:
         self._pending = []
 
     def _integrate(self, out: ChunkOutput, update_prior: bool = True) -> None:
-        if self._pending and self._pending[-1] is out:
-            self._pending.pop()
-        DT = np.asarray(out.DT)
-        good = np.asarray(out.good)
+        self._pending = [p for p in self._pending if p is not out]
+        DT, good = jax.device_get((out.DT, out.good))  # one round-trip
         DT_prev = self._last_step_host
         for i in range(DT.shape[0]):
             step = DT[i] if good[i] else DT_prev

@@ -118,6 +118,68 @@ def track_step(prev_pts: PointObservations, prev_lns: Optional[LineObservations]
     return TrackOutput(res, n_pt, n_ln, mp_idx, ml_idx)
 
 
+class KeyframeCriterion:
+    """currFrameIsKF parity, host-side: covariance-entropy ratio of the
+    motion accumulated since the last KF (adjoint-compounded) vs the
+    first post-KF frame, plus max translation/rotation caps. Shared by
+    the per-frame driver and the chunked SLAM driver."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.cov_kf: Optional[np.ndarray] = None
+        self.entropy_first: Optional[float] = None
+        self.frames_since_kf = 0
+
+    def reset(self) -> None:
+        self.cov_kf = None
+        self.entropy_first = None
+        self.frames_since_kf = 0
+
+    @staticmethod
+    def _adjoint_np(T: np.ndarray) -> np.ndarray:
+        R = T[:3, :3]
+        t = T[:3, 3]
+        tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                       [-t[1], t[0], 0]], T.dtype)
+        out = np.zeros((6, 6), T.dtype)
+        out[:3, :3] = R
+        out[:3, 3:] = tx @ R
+        out[3:, 3:] = R
+        return out
+
+    def update(self, DT: np.ndarray, cov: np.ndarray, good: bool,
+               T_from_kf: np.ndarray) -> Tuple[bool, float]:
+        """Feed one tracked frame; returns (is_kf, entropy_ratio).
+
+        Pure numpy: this runs per frame on the host (6x6-scale math);
+        jnp versions here cost several device round-trips per frame,
+        which dominated the chunked driver's wall time.
+        """
+        self.frames_since_kf += 1
+        if self.cov_kf is None:
+            self.cov_kf = cov
+        else:
+            Adj = self._adjoint_np(np.asarray(DT))
+            self.cov_kf = Adj @ self.cov_kf @ Adj.T + cov
+        sign, logdet = np.linalg.slogdet(self.cov_kf)
+        h = 0.5 * logdet if sign > 0 else -np.inf
+        if self.entropy_first is None:
+            self.entropy_first = h
+        ratio = h / self.entropy_first if self.entropy_first != 0 else 1.0
+
+        t_dist = float(np.linalg.norm(T_from_kf[:3, 3]))
+        r_dist = float(np.arccos(np.clip(
+            (np.trace(T_from_kf[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)))
+        k = self.cfg.keyframe
+        is_kf = good and self.frames_since_kf >= k.min_kf_n_frames and (
+            ratio < k.min_entropy_ratio
+            or t_dist > k.max_kf_t_dist
+            or r_dist > np.deg2rad(k.max_kf_r_dist))
+        if is_kf:
+            self.reset()
+        return is_kf, ratio
+
+
 class FrameResult(NamedTuple):
     """Host-side per-frame output (numpy scalars / small arrays)."""
     T_wc: np.ndarray        # (4, 4) camera-to-world pose of this frame
@@ -149,10 +211,8 @@ class StereoVO:
         self.prev_lns: Optional[LineObservations] = None
         self.T_wc = np.eye(4, dtype=np.float32)
         self.DT_prev = np.eye(4, dtype=np.float32)
-        self.cov_kf = None       # accumulated covariance since last KF
-        self.entropy_first: Optional[float] = None
+        self.kf_criterion = KeyframeCriterion(cfg)
         self.T_kf = np.eye(4, dtype=np.float32)   # pose of last KF
-        self.frames_since_kf = 0
         self.trajectory = []     # list of (4,4) np poses
 
     # -- API parity: initialize / insertStereoPair ---------------------------
@@ -184,37 +244,13 @@ class StereoVO:
         self.DT_prev = DT
         self.prev_pts, self.prev_lns = cur_pts, cur_lns
         self.trajectory.append(self.T_wc.copy())
-        self.frames_since_kf += 1
-
-        # KF criterion (currFrameIsKF parity): covariance-entropy ratio of
-        # the accumulated motion since the last KF vs the first post-KF frame
-        if self.cov_kf is None:
-            self.cov_kf = cov
-        else:
-            Adj = np.asarray(lie.adjoint_se3(jnp.asarray(DT)))
-            self.cov_kf = Adj @ self.cov_kf @ Adj.T + cov
-        h = float(robust.pose_cov_entropy(jnp.asarray(self.cov_kf)))
-        if self.entropy_first is None:
-            self.entropy_first = h
-        ratio = h / self.entropy_first if self.entropy_first != 0 else 1.0
 
         T_from_kf = np.linalg.inv(self.T_kf) @ self.T_wc
-        t_dist, r_dist = lie.se3_distance(jnp.asarray(T_from_kf))
-        kcfg = self.cfg.keyframe
-        is_kf = good and self.frames_since_kf >= kcfg.min_kf_n_frames and (
-            ratio < kcfg.min_entropy_ratio
-            or float(t_dist) > kcfg.max_kf_t_dist
-            or float(r_dist) > np.deg2rad(kcfg.max_kf_r_dist))
+        is_kf, ratio = self.kf_criterion.update(DT, cov, good, T_from_kf)
         if is_kf:
-            self._reset_kf_state()
+            self.T_kf = self.T_wc.copy()
         return FrameResult(self.T_wc.copy(), DT, good, is_kf,
                            int(res.n_inliers), float(res.err), ratio)
-
-    def _reset_kf_state(self):
-        self.T_kf = self.T_wc.copy()
-        self.cov_kf = None
-        self.entropy_first = None
-        self.frames_since_kf = 0
 
     @property
     def current_features(self) -> Tuple[PointObservations, Optional[LineObservations]]:
