@@ -167,27 +167,41 @@ def bilinear_sample_mxu(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(shp)
 
 
-def bilinear_sample_mxu_multi(imgs: Tuple[jnp.ndarray, ...], xy: jnp.ndarray
+def bilinear_sample_mxu_multi(imgs: Tuple[jnp.ndarray, ...], xy: jnp.ndarray,
+                              n_chunk: int = 8192
                               ) -> Tuple[jnp.ndarray, ...]:
     """``bilinear_sample_mxu`` of several same-shape images at the same
-    locations, sharing one row-interpolation matmul (images concatenate
-    along the row axis -> one (N, H) x (H, C*W) matmul)."""
+    locations, sharing one column-interpolation matmul (images
+    concatenate along the row axis -> one (C*H, W) x (W, N) matmul).
+
+    The sample axis is processed in static slices of ``n_chunk``: the
+    (C*H, N) interpolation intermediate cannot fuse into the dot, and at
+    full size it dominates HBM (batched over a 60-frame tracking chunk
+    it reached 20 GB and failed to compile). Slicing bounds the live
+    intermediate to (C*H, n_chunk) per step with identical results.
+    """
     H, W = imgs[0].shape
+    C = len(imgs)
     cat = jnp.concatenate(imgs, axis=0)                       # (C*H, W)
     shp = xy.shape[:-1]
     x = jnp.clip(xy[..., 0].reshape(-1), 0.0, W - 1.001)
     y = jnp.clip(xy[..., 1].reshape(-1), 0.0, H - 1.001)
+    N = x.shape[0]
     iy = jnp.arange(H, dtype=jnp.float32)
     ix = jnp.arange(W, dtype=jnp.float32)
-    A = jnp.maximum(1.0 - jnp.abs(y[:, None] - iy[None, :]), 0.0)
-    B = jnp.maximum(1.0 - jnp.abs(x[:, None] - ix[None, :]), 0.0)
-    cols = jnp.dot(cat.astype(jnp.bfloat16), B.T.astype(jnp.bfloat16),
-                   preferred_element_type=jnp.float32)        # (C*H, N)
-    outs = []
-    for c in range(len(imgs)):
-        outs.append(jnp.sum(cols[c * H:(c + 1) * H, :] * A.T, axis=0)
-                    .reshape(shp))
-    return tuple(outs)
+    cat16 = cat.astype(jnp.bfloat16)
+    pieces = []
+    for lo in range(0, N, n_chunk):
+        xs = x[lo:lo + n_chunk]
+        ys = y[lo:lo + n_chunk]
+        A = jnp.maximum(1.0 - jnp.abs(ys[:, None] - iy[None, :]), 0.0)
+        B = jnp.maximum(1.0 - jnp.abs(xs[:, None] - ix[None, :]), 0.0)
+        cols = jnp.dot(cat16, B.T.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)    # (C*H, n)
+        cols = cols.reshape(C, H, -1)
+        pieces.append(jnp.sum(cols * A.T[None], axis=1))      # (C, n)
+    out = jnp.concatenate(pieces, axis=-1)                    # (C, N)
+    return tuple(out[c].reshape(shp) for c in range(C))
 
 
 def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
