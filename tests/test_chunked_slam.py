@@ -59,3 +59,35 @@ def test_chunked_slam_matches_per_frame_quality():
     a_ref = ate_rmse(est_ref, seq.poses)
     a_ch = ate_rmse(est_ch, seq.poses)
     assert a_ch < max(2.5 * a_ref, 0.08), (a_ch, a_ref)
+
+
+def test_chunked_slam_closes_synthetic_loop():
+    """The chunked driver must fire loop closure end to end (loop checks
+    ride the mapping worker via the on_done hook)."""
+    cfg = SlamConfig().with_updates({
+        "camera": {"width": 512, "height": 320, "fx": 400.0, "fy": 400.0,
+                   "cx": 256.0, "cy": 160.0, "baseline": 0.3},
+        "points": {"max_kpts": 384, "orb_nlevels": 2},
+        "lines": {"has_lines": False},
+        "matching": {"f2f_window": 128.0},
+        "mapping": {"max_kfs": 64, "max_points": 4096, "max_lines": 256,
+                    "window_kfs": 4, "fixed_kfs": 2, "lba_iters": 5},
+        "keyframe": {"min_entropy_ratio": 2.0},   # KF every frame
+        "system": {"async_mapping": True},
+        "loop": {"enabled": True, "min_kf_separation": 12,
+                 "consistency_window": 2, "lc_inl": 15,
+                 "lc_trs": 3.0, "lc_rot": 60.0},
+    })
+    cam = StereoCamera.from_config(cfg.camera)
+    n = 40
+    seq = synthetic.make_sequence(cam, n_frames=n, seed=21, kind="loop",
+                                  n_points=700, n_lines=0, noise=0.004,
+                                  step=0.35)
+    slam = ChunkedPLSLAM(cfg, cam, enable_loops=True)
+    slam.initialize(seq.images_l[0], seq.images_r[0])
+    for lo in (1, 14, 27):
+        slam.process_chunk(seq.images_l[lo:lo + 13], seq.images_r[lo:lo + 13])
+    est = slam.finish()
+    assert slam.loop_closer.n_loops_closed >= 1, "no loop closed"
+    a = ate_rmse(est, seq.poses)
+    assert a < 0.3, f"post-loop ATE {a:.3f} m"
