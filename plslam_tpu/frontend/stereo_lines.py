@@ -51,12 +51,23 @@ def detect_and_describe_lines(img: jnp.ndarray, cfg: SlamConfig
             merge_iters=max(l.merge_iters * 3, 8),
             merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
             min_length=l.min_line_length * diag)
-    gx, gy = sobel_gradients(img)
-    desc = lbd.describe_lines(img, segs.sp, segs.ep, n_bands=l.lbd_bands,
-                              band_width=l.lbd_band_width,
-                              n_samples=l.lbd_samples,
-                              samples_per_band=l.lbd_band_samples,
-                              gx=gx, gy=gy)
+    if l.lbd_half_res:
+        from plslam_tpu.ops.image import resize_bilinear
+        small = resize_bilinear(img, (H // 2, W // 2))
+        gx, gy = sobel_gradients(small)
+        desc = lbd.describe_lines(small, segs.sp * 0.5, segs.ep * 0.5,
+                                  n_bands=l.lbd_bands,
+                                  band_width=max(l.lbd_band_width // 2, 3),
+                                  n_samples=l.lbd_samples,
+                                  samples_per_band=l.lbd_band_samples,
+                                  gx=gx, gy=gy)
+    else:
+        gx, gy = sobel_gradients(img)
+        desc = lbd.describe_lines(img, segs.sp, segs.ep, n_bands=l.lbd_bands,
+                                  band_width=l.lbd_band_width,
+                                  n_samples=l.lbd_samples,
+                                  samples_per_band=l.lbd_band_samples,
+                                  gx=gx, gy=gy)
     return segs, desc
 
 
