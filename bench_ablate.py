@@ -35,9 +35,14 @@ def main() -> None:
         cfg = cfg.with_updates({"points": {"has_points": False}})
     elif mode == "fld":
         cfg = cfg.with_updates({"lines": {"use_fld_lines": True}})
+    elif mode == "pass1":
+        cfg = cfg.with_updates({"tracking": {"chunk_passes": 1}})
+    elif mode == "scan":
+        cfg = cfg.with_updates({"tracking": {"batched_chunks": False}})
     cam = StereoCamera.from_config(cfg.camera)
 
-    chunk = 20
+    chunk = int(os.environ.get("CHUNK", "20"))
+    depth = int(os.environ.get("DEPTH", "2"))
     n_frames = 3 * chunk + 1
     seq = synthetic.make_sequence(cam, n_frames=n_frames, seed=0,
                                   n_points=500, n_lines=60, noise=0.003,
@@ -56,7 +61,7 @@ def main() -> None:
         for k in range(chunks_per_rep):
             lo = 1 + (k % 3) * chunk
             vo.submit_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
-            if len(vo._pending) >= 2:
+            if len(vo._pending) >= depth:
                 vo._integrate(vo._pending[0], update_prior=False)
         vo.drain()
         best = min(best, time.perf_counter() - t0)

@@ -110,6 +110,18 @@ class TrackingConfig:
     max_optim_error: float = 20.0   # gate on residual norm after opt
     lm_init_lambda: float = 1e-4    # LM fallback damping
     prior_weight: float = 0.0       # optional constant-velocity prior strength
+    batched_chunks: bool = True     # chunked VO: solve all f2f pairs of a
+                                    # chunk BATCHED (vmapped matching + GN)
+                                    # instead of a sequential lax.scan —
+                                    # the recurrence only carries the
+                                    # constant-velocity prior, so pairs
+                                    # decouple given a chunk-level prior.
+                                    # ~3x front-to-back on TPU (MXU-sized
+                                    # matmuls instead of 20 tiny programs)
+    chunk_passes: int = 2           # batched-mode refinement passes: pass
+                                    # k>1 re-matches/re-solves each pair
+                                    # around its OWN pass-(k-1) estimate
+                                    # (recovers per-pair prior quality)
 
 
 @dataclass(frozen=True)
