@@ -31,7 +31,10 @@ def build_argparser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--frames", type=int, default=None, help="frame count")
     ap.add_argument("--offset", type=int, default=0, help="first frame index")
     ap.add_argument("--step", type=int, default=1, help="frame stride")
-    ap.add_argument("--lines", action="store_true", help="enable line features")
+    ap.add_argument("--lines", action="store_true",
+                    help="force line features on (default: on)")
+    ap.add_argument("--no-lines", action="store_true",
+                    help="disable line features (point-only StVO)")
     ap.add_argument("--no-points", action="store_true", help="disable points")
     ap.add_argument("--out", default=None, help="trajectory output path (TUM format)")
     ap.add_argument("--seed", type=int, default=0, help="synthetic scene seed")
@@ -59,7 +62,10 @@ def load_config(args) -> SlamConfig:
                              "baseline": 0.3}
         updates["points"] = {"max_kpts": 512, "orb_nlevels": 2}
     cfg = cfg.with_updates(updates) if updates else cfg
-    cfg = cfg.with_updates({"lines": {"has_lines": bool(args.lines)},
+    # points+lines is the flagship configuration (reference default);
+    # --no-lines / --no-points select the reduced variants
+    has_lines = (cfg.lines.has_lines or args.lines) and not args.no_lines
+    cfg = cfg.with_updates({"lines": {"has_lines": has_lines},
                             "points": {"has_points": not args.no_points}})
     return cfg
 
@@ -71,7 +77,7 @@ def open_frames(args, cfg: SlamConfig):
         return synthetic_dataset(cfg, n_frames=n, seed=args.seed,
                                  kind=args.trajectory,
                                  n_points=0 if args.no_points else 300,
-                                 n_lines=60 if args.lines else 0)
+                                 n_lines=60 if cfg.lines.has_lines else 0)
     if not args.dataset:
         print("error: provide a dataset dir or --synthetic", file=sys.stderr)
         sys.exit(2)

@@ -62,10 +62,18 @@ class LineFeatureConfig:
     min_line_length: float = 0.025  # fraction of image diagonal (ref: min_line_length)
     grad_th: float = 5.3            # gradient magnitude threshold (~LSD quant)
     anisotropy_th: float = 0.85     # structure-tensor anisotropy gate
+    # per-tile gates (validated against ground-truth synthetic scenes;
+    # the level-line reweighting pass carries most of the precision, so
+    # the geometric gates can sit near the anti-aliased line PSF limits)
+    min_support: float = 0.4        # gradient mass per tile, x tile px
+    elong_th: float = 1.8           # sqrt eigenvalue ratio of tile support
+    perp_spread_th: float = 3.2     # px, perpendicular spread of support
+    coherence_th: float = 0.55      # double-angle orientation coherence
     merge_iters: int = 3            # collinear merge passes across tiles
     merge_ang_th: float = 0.06      # rad, collinearity angle gate for merging
     merge_dist_th: float = 2.5      # px, perpendicular distance gate
-    merge_gap_th: float = 14.0      # px, endpoint gap gate
+    merge_gap_th: float = 24.0      # px, segment-level merge gap (occlusion
+                                    # bridging; ref line-merge option role)
     lbd_bands: int = 9              # LBD number of bands
     lbd_band_width: int = 7         # LBD band width in px
     lbd_samples: int = 24           # samples along the segment

@@ -39,17 +39,22 @@ def detect_and_describe_lines(img: jnp.ndarray, cfg: SlamConfig
         segs = lines.detect_segments(
             small, max_lines=l.max_lines, tile=l.tile,
             grad_th=l.grad_th / 255.0 * 0.5,
-            min_support=0.5, elong_th=1.8,
+            min_support=l.min_support * 0.6, elong_th=l.elong_th * 0.8,
+            perp_spread_th=l.perp_spread_th, coherence_th=l.coherence_th,
             merge_iters=max(l.merge_iters * 3, 8),
             merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
+            merge_gap_th=l.merge_gap_th * 0.5,
             min_length=l.min_line_length * diag * 0.5)
         segs = segs._replace(sp=segs.sp * 2.0, ep=segs.ep * 2.0)
     else:
         segs = lines.detect_segments(
             img, max_lines=l.max_lines, tile=l.tile,
             grad_th=l.grad_th / 255.0,
+            min_support=l.min_support, elong_th=l.elong_th,
+            perp_spread_th=l.perp_spread_th, coherence_th=l.coherence_th,
             merge_iters=max(l.merge_iters * 3, 8),
             merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
+            merge_gap_th=l.merge_gap_th,
             min_length=l.min_line_length * diag)
     if l.lbd_half_res:
         from plslam_tpu.ops.image import resize_bilinear

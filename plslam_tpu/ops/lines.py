@@ -55,14 +55,24 @@ def _tile_sums(x: jnp.ndarray, tile: int, stride: int) -> jnp.ndarray:
 @lru_cache(maxsize=64)
 def _blocksum_matrices(n: int, stride: int) -> np.ndarray:
     """(3, nb, n) stack of block-sum row operators: plain 0/1 block sum,
-    coordinate-weighted, and coordinate^2-weighted. nb = ceil(n/stride)."""
+    BLOCK-LOCAL-coordinate-weighted, and local-coordinate^2-weighted.
+    nb = ceil(n/stride).
+
+    Local coordinates (j - i*stride, in [0, stride)) keep the moment
+    magnitudes ~stride^2 instead of ~n^2: with absolute pixel
+    coordinates the centered variances (signal ~0.2 px^2 for a thin
+    line) cancel against ~1e6-scale squared sums and drown in f32
+    rounding (~1 px^2 of noise) — measured to reject most genuine line
+    tiles. Window sums shift origins exactly via the parallel-axis
+    relations in tile_moment_maps."""
     nb = -(-n // stride)
     R = np.zeros((3, nb, n), np.float32)
     for i in range(nb):
         j = np.arange(i * stride, min((i + 1) * stride, n))
+        loc = (j - i * stride).astype(np.float32)
         R[0, i, j] = 1.0
-        R[1, i, j] = j.astype(np.float32)
-        R[2, i, j] = (j * j).astype(np.float32)
+        R[1, i, j] = loc
+        R[2, i, j] = loc * loc
     return R
 
 
@@ -74,20 +84,24 @@ def _dot_hi(a, b):
 def tile_moment_maps(w: jnp.ndarray, d2x: jnp.ndarray, d2y: jnp.ndarray,
                      tile: int, stride: int):
     """All eight (Th, Tw) tile-sum maps of the LSD-equivalent detector in
-    one separable MXU pass.
+    one separable MXU pass, in WINDOW-LOCAL coordinates.
 
     Equivalent to eight overlapping ``reduce_window`` calls over the
-    full-resolution product planes (w, w*x, w*y, w*x^2, w*y^2, w*x*y,
-    d2x, d2y) — but the coordinate weights are folded into banded
-    block-sum matrices, so only THREE full-resolution planes are ever
-    read and every reduction is a matmul: rows first ((Th', H) @ (H, W)),
-    then columns. Overlapping (tile x tile, stride) windows are the sum
-    of the 2x2 adjacent (stride x stride) block sums (tile == 2*stride).
-    f32-HIGHEST matmuls: absolute pixel coordinates reach 1e3 (x^2 1e6);
-    bf16 passes would destroy the centered second moments.
+    full-resolution product planes — but the coordinate weights are
+    folded into banded block-sum matrices, so only THREE full-resolution
+    planes are ever read and every reduction is a matmul: rows first
+    ((Th', H) @ (H, W)), then columns. Overlapping (tile x tile, stride)
+    windows are the sum of the 2x2 adjacent (stride x stride) block
+    sums, origin-shifted exactly by the parallel-axis relations
+    (tile == 2*stride).
 
-    Returns (S, Sx, Sy, Sxx, Syy, Sxy, D2x, D2y), each (Th, Tw) matching
-    reduce_window(..., "VALID") at the same tile/stride.
+    Coordinates are LOCAL to each window's top-left corner (see
+    _blocksum_matrices: f32 cancellation with absolute coordinates
+    destroys the centered second moments). Callers convert centroids to
+    image coordinates by adding (j*stride, i*stride).
+
+    Returns (S, Sx, Sy, Sxx, Syy, Sxy, D2x, D2y), each (Th, Tw), where
+    Sx = sum w*(x - x0_window) etc.
     """
     assert tile == 2 * stride
     H, W = w.shape
@@ -98,8 +112,8 @@ def tile_moment_maps(w: jnp.ndarray, d2x: jnp.ndarray, d2y: jnp.ndarray,
     cat = jnp.concatenate([w, d2x, d2y], axis=1)       # (H, 3W)
     r0 = _dot_hi(Ry[0], cat)                           # (Hb, 3W)
     Aw, Ad2x, Ad2y = r0[:, :W], r0[:, W:2 * W], r0[:, 2 * W:]
-    By = _dot_hi(Ry[1], w)                             # (Hb, W) sum y*w
-    Cyy = _dot_hi(Ry[2], w)                            # (Hb, W) sum y^2*w
+    By = _dot_hi(Ry[1], w)                             # (Hb, W) sum y'*w
+    Cyy = _dot_hi(Ry[2], w)                            # (Hb, W) sum y'^2*w
 
     # column stage
     C0, C1, C2 = Cx[0], Cx[1], Cx[2]
@@ -113,18 +127,41 @@ def tile_moment_maps(w: jnp.ndarray, d2x: jnp.ndarray, d2y: jnp.ndarray,
     Hb = Aw.shape[0]
     Syy8, D2x8, D2y8 = rest[:Hb], rest[Hb:2 * Hb], rest[2 * Hb:]
 
-    # overlapping (2s x 2s, stride s) windows = 2x2 adjacent block sums,
-    # cropped to reduce_window-VALID extent
+    # overlapping (2s x 2s, stride s) windows = 2x2 adjacent block sums
+    # with exact origin shifts, cropped to reduce_window-VALID extent.
+    # Block (bi+di, bj+dj) contributes with its local origin displaced by
+    # (di*s, dj*s) from the window origin:
+    #   Sx  -> Sx + dx*S                 Sxx -> Sxx + 2*dx*Sx + dx^2*S
+    #   Sxy -> Sxy + dy*Sx + dx*Sy + dx*dy*S
     Th = (H - tile) // stride + 1
     Tw = (W - tile) // stride + 1
+    s = float(stride)
 
-    def comb(m):
-        m2 = m[:-1] + m[1:] if m.shape[0] > Th else m
-        m2 = m2[:, :-1] + m2[:, 1:]
-        return m2[:Th, :Tw]
+    def sh(m, di, dj):
+        """Block map shifted so (i, j) reads block (i+di, j+dj)."""
+        return m[di:m.shape[0] - 1 + di, dj:m.shape[1] - 1 + dj]
 
-    return tuple(comb(m) for m in
-                 (S8, Sx8, Sy8, Sxx8, Syy8, Sxy8, D2x8, D2y8))
+    def window(moment_fn):
+        out = None
+        for di in (0, 1):
+            for dj in (0, 1):
+                term = moment_fn(di * s, dj * s,
+                                 lambda m: sh(m, di, dj))
+                out = term if out is None else out + term
+        return out[:Th, :Tw]
+
+    S = window(lambda dy, dx, g: g(S8))
+    Sx = window(lambda dy, dx, g: g(Sx8) + dx * g(S8))
+    Sy = window(lambda dy, dx, g: g(Sy8) + dy * g(S8))
+    Sxx = window(lambda dy, dx, g: g(Sxx8) + 2.0 * dx * g(Sx8)
+                 + dx * dx * g(S8))
+    Syy = window(lambda dy, dx, g: g(Syy8) + 2.0 * dy * g(Sy8)
+                 + dy * dy * g(S8))
+    Sxy = window(lambda dy, dx, g: g(Sxy8) + dy * g(Sx8) + dx * g(Sy8)
+                 + dx * dy * g(S8))
+    D2x = window(lambda dy, dx, g: g(D2x8))
+    D2y = window(lambda dy, dx, g: g(D2y8))
+    return S, Sx, Sy, Sxx, Syy, Sxy, D2x, D2y
 
 
 def _principal_axis(sxx, syy, sxy):
@@ -145,11 +182,91 @@ def _principal_axis(sxx, syy, sxy):
     return l1, l2, vx / n, vy / n
 
 
+def merge_segments(sp: jnp.ndarray, ep: jnp.ndarray, score: jnp.ndarray,
+                   valid: jnp.ndarray, ang_th: float, dist_th: float,
+                   gap_th: float, iters: int = 8):
+    """Collinear segment-level merge: fuse fragments of the same line
+    that the tile-chain stage left disconnected (gaps from occlusions —
+    e.g. textures/objects crossing the line — or locally failed tiles).
+
+    The reference's LSD grows dense support regions and rarely
+    fragments; this second stage restores that behavior for the
+    tile-based detector (uses the ``merge_gap_th`` config the reference
+    exposes for its line-merging option).
+
+    Fully vectorized on (M, M) matrices (M = segment capacity, ~256):
+    compatibility = angle mod pi within ang_th AND mutual perpendicular
+    midpoint offset within dist_th AND projection-interval gap within
+    gap_th; connected components by iterated masked label-min (no
+    gathers); per-root refit via one-hot matmul aggregation.
+
+    Returns (sp, ep, angle, score, valid) with merged segments living in
+    their root slots (members' slots invalidated).
+    """
+    M = sp.shape[0]
+    mid = 0.5 * (sp + ep)
+    d = ep - sp
+    length = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    du = d / length[:, None]
+    # canonical hemisphere so fragment directions agree
+    flip = du[:, 0] < 0
+    du = jnp.where(flip[:, None], -du, du)
+    ang = jnp.arctan2(du[:, 1], du[:, 0])
+
+    dang = jnp.abs(ang[:, None] - ang[None, :])
+    dang = jnp.minimum(dang, jnp.pi - dang)
+    # perpendicular offset of j's midpoint from i's infinite line
+    n = jnp.stack([-du[:, 1], du[:, 0]], axis=-1)          # (M, 2)
+    rel = mid[None, :, :] - mid[:, None, :]                # (M, M, 2)
+    off = jnp.abs(jnp.einsum("ik,ijk->ij", n, rel))
+    # projection intervals of both segments on i's direction
+    pm = jnp.einsum("ik,ijk->ij", du, rel)                 # center of j on i
+    half_j = 0.5 * length[None, :]
+    half_i = 0.5 * length[:, None]
+    gap = jnp.abs(pm) - (half_i + half_j)                  # <0 = overlap
+    ok = ((dang < ang_th) & (off < dist_th) & (gap < gap_th)
+          & valid[:, None] & valid[None, :])
+    ok = ok & ok.T
+
+    lab0 = jnp.where(valid, jnp.arange(M, dtype=jnp.int32), jnp.int32(M))
+
+    def prop(_, lab):
+        cand = jnp.where(ok, lab[None, :], M)
+        return jnp.minimum(lab, jnp.min(cand, axis=1))
+
+    lab = lax.fori_loop(0, iters, prop, lab0)
+
+    # one-hot root aggregation (root slot r collects its members)
+    R = (lab[None, :] == jnp.arange(M, dtype=jnp.int32)[:, None])
+    Rf = R.astype(jnp.float32) * valid[None, :].astype(jnp.float32)
+    w = jnp.where(valid, score, 0.0)
+    wsum = Rf @ w
+    # support-weighted double-angle mean direction
+    c2 = Rf @ (w * jnp.cos(2.0 * ang))
+    s2 = Rf @ (w * jnp.sin(2.0 * ang))
+    ang_m = 0.5 * jnp.arctan2(s2, c2)
+    dm = jnp.stack([jnp.cos(ang_m), jnp.sin(ang_m)], axis=-1)
+    cen = (Rf @ (w[:, None] * mid)) / jnp.maximum(wsum, 1e-6)[:, None]
+    # endpoints: min/max projection of member endpoints on the root line
+    proj_sp = jnp.einsum("rk,jk->rj", dm, sp) - jnp.sum(dm * cen, -1)[:, None]
+    proj_ep = jnp.einsum("rk,jk->rj", dm, ep) - jnp.sum(dm * cen, -1)[:, None]
+    INF = jnp.float32(1e9)
+    lo = jnp.minimum(jnp.where(Rf > 0, proj_sp, INF),
+                     jnp.where(Rf > 0, proj_ep, INF)).min(axis=1)
+    hi = jnp.maximum(jnp.where(Rf > 0, proj_sp, -INF),
+                     jnp.where(Rf > 0, proj_ep, -INF)).max(axis=1)
+    is_root = valid & (lab == jnp.arange(M, dtype=jnp.int32)) & (wsum > 0)
+    sp_m = cen + lo[:, None] * dm
+    ep_m = cen + hi[:, None] * dm
+    return sp_m, ep_m, ang_m, jnp.where(is_root, wsum, 0.0), is_root
+
+
 def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
                     grad_th: float = 0.02, min_support: float = 1.0,
                     elong_th: float = 2.5, perp_spread_th: float = 2.2,
                     coherence_th: float = 0.6, merge_iters: int = 8,
                     merge_ang_th: float = 0.1, merge_dist_th: float = 2.0,
+                    merge_gap_th: float = 14.0,
                     min_length: float = 12.0) -> Segments:
     """Detect up to ``max_lines`` segments in one (H, W) image."""
     H, W = img.shape
@@ -170,13 +287,41 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     S, Sx, Sy, Sxx, Syy, Sxy, D2x, D2y = tile_moment_maps(
         w, d2x, d2y, tile, stride)
 
+    # ---- level-line filtering (LSD's region-orientation test, tile-wise):
+    # pass 2 recomputes the moments with each pixel reweighted by how
+    # well its gradient orientation agrees (mod pi) with the LOCALLY
+    # dominant orientation. In tiles mixing a thin line with clutter
+    # (textures, corners), isotropic clutter cancels in the double-angle
+    # mean while the line's two coherent flanks reinforce it — so the
+    # reweighting suppresses the clutter mass that otherwise inflates
+    # the perpendicular spread and fails the gates (measured: most
+    # genuine line tiles near texture were rejected without this).
+    d2n = jnp.sqrt(D2x * D2x + D2y * D2y) + 1e-9
+    u2x, u2y = D2x / d2n, D2y / d2n                 # (Th, Tw) unit field
+    Th0, Tw0 = u2x.shape
+
+    def up(m):
+        full = jnp.repeat(jnp.repeat(m, stride, axis=0), stride, axis=1)
+        return jnp.pad(full, ((stride // 2, H - Th0 * stride - stride // 2),
+                              (stride // 2, W - Tw0 * stride - stride // 2)),
+                       mode="edge")
+
+    align_px = (d2x * up(u2x) + d2y * up(u2y)) / jnp.maximum(w, 1e-9)
+    ratio = jnp.square(jnp.maximum(align_px, 0.0))
+    S, Sx, Sy, Sxx, Syy, Sxy, D2x, D2y = tile_moment_maps(
+        w * ratio, d2x * ratio, d2y * ratio, tile, stride)
+
     Th, Tw = S.shape
     S_safe = jnp.maximum(S, 1e-6)
-    cx = Sx / S_safe
-    cy = Sy / S_safe
-    cxx = Sxx / S_safe - cx * cx
-    cyy = Syy / S_safe - cy * cy
-    cxy = Sxy / S_safe - cx * cy
+    # centroids/covariance in window-LOCAL coordinates (exact in f32),
+    # then centroids shifted to image coordinates by the window origins
+    cx_l = Sx / S_safe
+    cy_l = Sy / S_safe
+    cxx = Sxx / S_safe - cx_l * cx_l
+    cyy = Syy / S_safe - cy_l * cy_l
+    cxy = Sxy / S_safe - cx_l * cy_l
+    cx = cx_l + stride * jax.lax.broadcasted_iota(jnp.float32, (Th, Tw), 1)
+    cy = cy_l + stride * jax.lax.broadcasted_iota(jnp.float32, (Th, Tw), 0)
     l1, l2, dx, dy = _principal_axis(cxx, cyy, cxy)
     l1 = jnp.maximum(l1, 0.0)
     l2 = jnp.maximum(l2, 0.0)
@@ -268,13 +413,29 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     n_slots = Th * Tw + 8
     valid_t = flat(tile_ok)
 
-    payload = jnp.stack([flat(S), flat(Sx), flat(Sy), flat(Sxx), flat(Syy),
-                         flat(Sxy), jnp.ones((Th * Tw,), S.dtype)], axis=-1)
+    # shift per-tile local moments to a shared image-center origin
+    # (parallel-axis); centered coords keep the merged sums ~1e5, small
+    # enough that the merged principal DIRECTION (large eigengap) is
+    # f32-stable even though tiny perp variances are not — the refit
+    # never gates on those.
+    x0 = 0.5 * W
+    y0 = 0.5 * H
+    dxc = flat(cx) - flat(cx_l) - x0          # window origin - center
+    dyc = flat(cy) - flat(cy_l) - y0
+    fS, fSx, fSy = flat(S), flat(Sx), flat(Sy)
+    Sx_c = fSx + dxc * fS
+    Sy_c = fSy + dyc * fS
+    Sxx_c = flat(Sxx) + 2.0 * dxc * fSx + dxc * dxc * fS
+    Syy_c = flat(Syy) + 2.0 * dyc * fSy + dyc * dyc * fS
+    Sxy_c = flat(Sxy) + dyc * fSx + dxc * fSy + dxc * dyc * fS
+
+    payload = jnp.stack([fS, Sx_c, Sy_c, Sxx_c, Syy_c, Sxy_c,
+                         jnp.ones((Th * Tw,), S.dtype)], axis=-1)
     payload = jnp.where(valid_t[:, None], payload, 0.0)
     agg = jnp.zeros((n_slots, 7), S.dtype).at[lab].add(payload)
     mS, mSx, mSy, mSxx, mSyy, mSxy, owns = [agg[:, i] for i in range(7)]
     mS_safe = jnp.maximum(mS, 1e-6)
-    mcx = mSx / mS_safe
+    mcx = mSx / mS_safe                       # image-center coords
     mcy = mSy / mS_safe
     mcxx = mSxx / mS_safe - mcx * mcx
     mcyy = mSyy / mS_safe - mcy * mcy
@@ -287,8 +448,8 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     half_ext = jnp.sqrt(jnp.maximum(12.0 * l1, 0.0)) * 0.5   # per tile
     root_rows = take_mxu(
         jnp.stack([mdx, mdy, mdx * mcx + mdy * mcy], axis=-1), lab)
-    proj_c = (flat(cx) * root_rows[:, 0] + flat(cy) * root_rows[:, 1]
-              - root_rows[:, 2])
+    proj_c = ((flat(cx) - x0) * root_rows[:, 0]
+              + (flat(cy) - y0) * root_rows[:, 1] - root_rows[:, 2])
     he = flat(half_ext)
     INF = jnp.float32(1e9)
     # min and max as ONE min-scatter: max(v) = -min(-v)
@@ -297,21 +458,36 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     pext = jnp.full((n_slots, 2), INF).at[lab].min(ext)
     pmin, pmax = pext[:, 0], -pext[:, 1]
 
-    # a label is a real segment iff it is its own root and has support
+    # a label is a real segment iff it is its own root and has support.
+    # Stage-1 keeps FRAGMENTS down to one tile long (occlusions and
+    # locally failed tiles break chains); the segment-level collinear
+    # merge below reassembles them, and only the merged segments face
+    # ``min_length``.
     slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
     root_ok = (mS > 0) & (owns > 0) & (slot_ids < Th * Tw)
     length = jnp.where(root_ok, pmax - pmin, 0.0)
-    seg_ok = root_ok & (length > min_length)
+    seg_ok = root_ok & (length > min(0.75 * tile + stride, min_length))
 
-    sp = jnp.stack([mcx + pmin * mdx, mcy + pmin * mdy], axis=-1)
-    ep = jnp.stack([mcx + pmax * mdx, mcy + pmax * mdy], axis=-1)
+    sp = jnp.stack([mcx + x0 + pmin * mdx, mcy + y0 + pmin * mdy], axis=-1)
+    ep = jnp.stack([mcx + x0 + pmax * mdx, mcy + y0 + pmax * mdy], axis=-1)
     score = jnp.where(seg_ok, mS, 0.0)
 
-    # top max_lines by support
-    top_s, top_i = lax.top_k(score, max_lines)
+    # stage-1 top candidates (2x capacity: fragments merge down)
+    M1 = 2 * max_lines
+    c_s, c_i = lax.top_k(score, M1)
+    ctake = lambda a: jnp.take(a, c_i, axis=0)
+    sp_c, ep_c = ctake(sp), ctake(ep)
+    v_c = c_s > 0.0
+
+    sp_m, ep_m, ang_m, score_m, v_m = merge_segments(
+        sp_c, ep_c, c_s, v_c, ang_th=2.0 * merge_ang_th,
+        dist_th=merge_dist_th, gap_th=merge_gap_th)
+    len_m = jnp.sqrt(jnp.sum((ep_m - sp_m) ** 2, axis=-1))
+    score_m = jnp.where(v_m & (len_m > min_length), score_m, 0.0)
+
+    top_s, top_i = lax.top_k(score_m, max_lines)
     take = lambda a: jnp.take(a, top_i, axis=0)
-    sp = jnp.clip(take(sp), 0.0, jnp.asarray([W - 1.0, H - 1.0]))
-    ep = jnp.clip(take(ep), 0.0, jnp.asarray([W - 1.0, H - 1.0]))
-    mang = jnp.arctan2(take(mdy), take(mdx))
-    return Segments(sp=sp, ep=ep, angle=mang, score=top_s,
+    sp_f = jnp.clip(take(sp_m), 0.0, jnp.asarray([W - 1.0, H - 1.0]))
+    ep_f = jnp.clip(take(ep_m), 0.0, jnp.asarray([W - 1.0, H - 1.0]))
+    return Segments(sp=sp_f, ep=ep_f, angle=take(ang_m), score=top_s,
                     valid=top_s > 0.0)

@@ -89,8 +89,12 @@ def vo_chunk(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
     def body(carry, feat_i):
         prev_p, prev_l, T_prior = carry
         pts_i, lns_i = feat_i
-        mres = match_f2f_points(prev_p, pts_i, T_prior, cam, cfg)
-        terms = build_point_terms(prev_p, pts_i, mres)
+        if pts_i.uv.shape[0] > 0:
+            mres = match_f2f_points(prev_p, pts_i, T_prior, cam, cfg)
+            terms = build_point_terms(prev_p, pts_i, mres)
+        else:  # lines-only configuration (has_points=false)
+            terms = pose_gn.PointTerms(jnp.zeros((0, 3)), jnp.zeros((0, 2)),
+                                       jnp.zeros((0,), bool))
         if prev_l is not None:
             ml = match_f2f_lines(prev_l, lns_i, T_prior, cam, cfg)
             ln_terms = build_line_terms(prev_l, lns_i, ml)
@@ -135,8 +139,12 @@ def _chunk_tracking_batched(pts, lns, prev_pts, prev_lns, T_prior0, cam,
     prev_l = shift(prev_lns, lns) if lns is not None else None
 
     def one(prev_pi, prev_li, pts_i, lns_i, Tp):
-        mres = match_f2f_points(prev_pi, pts_i, Tp, cam, cfg)
-        terms = build_point_terms(prev_pi, pts_i, mres)
+        if pts_i.uv.shape[0] > 0:
+            mres = match_f2f_points(prev_pi, pts_i, Tp, cam, cfg)
+            terms = build_point_terms(prev_pi, pts_i, mres)
+        else:  # lines-only configuration (has_points=false)
+            terms = pose_gn.PointTerms(jnp.zeros((0, 3)), jnp.zeros((0, 2)),
+                                       jnp.zeros((0,), bool))
         if prev_li is not None:
             ml = match_f2f_lines(prev_li, lns_i, Tp, cam, cfg)
             ln_terms = build_line_terms(prev_li, lns_i, ml)
