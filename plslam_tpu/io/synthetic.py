@@ -89,11 +89,14 @@ def make_trajectory(n_frames: int, kind: str = "forward", step: float = 0.15,
     poses = np.zeros((n_frames, 4, 4), np.float32)
     T = np.eye(4, dtype=np.float32)
     if kind == "loop":
-        # full circle so the last frames revisit the first — but capped at
-        # ~10 deg/frame: with too few frames an uncapped rate is physically
-        # untrackable (features leave the f2f search window every frame)
-        # and the run degenerates to a tracking-failure stress test
-        yaw_rate = min(2 * np.pi / max(n_frames - 1, 1), np.radians(10.0))
+        # close the circle by ~85% of the frames so the tail OVERSHOOTS
+        # into revisited territory — loop detection needs several
+        # consecutive keyframes inside the revisit (temporal consistency
+        # voting), which a circle that closes exactly at the last frame
+        # never provides. Capped at ~10 deg/frame: an uncapped rate is
+        # physically untrackable (features leave the f2f window).
+        yaw_rate = min(2 * np.pi / max(0.85 * (n_frames - 1), 1.0),
+                       np.radians(10.0))
     for i in range(n_frames):
         poses[i] = T
         jitter = np.zeros(6, np.float32)
