@@ -17,6 +17,7 @@ from plslam_tpu.config import SlamConfig
 from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.frontend.features import LineObservations, line_equation
 from plslam_tpu.ops import hamming, lbd, lines
+from plslam_tpu.ops.gather import take_mxu
 from plslam_tpu.ops.image import sobel_gradients
 
 
@@ -108,8 +109,9 @@ def match_stereo_lines(segs_l: lines.Segments, desc_l: jnp.ndarray,
 
     idx = jnp.maximum(res.idx, 0)
     # right line equation; intersect with the left endpoints' rows
-    le_r = line_equation(jnp.take(segs_r.sp, idx, axis=0),
-                         jnp.take(segs_r.ep, idx, axis=0))
+    # (one widened MXU gather of both endpoints)
+    rsel = take_mxu(jnp.concatenate([segs_r.sp, segs_r.ep], axis=-1), idx)
+    le_r = line_equation(rsel[:, :2], rsel[:, 2:])
     def row_intersect(pt):
         # u on the right line at row v = pt[:,1]: a u + b v + c = 0
         a, b, c = le_r[:, 0], le_r[:, 1], le_r[:, 2]

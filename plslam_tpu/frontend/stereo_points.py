@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from plslam_tpu.config import SlamConfig
 from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.ops.gather import take_mxu
 from plslam_tpu.frontend.features import PointObservations
 from plslam_tpu.ops import fast, hamming, orb
 from plslam_tpu.ops.image import build_pyramid
@@ -64,16 +65,21 @@ def detect_and_describe(img: jnp.ndarray, cfg: SlamConfig
     # the descriptor gather, the most expensive part of this stage)
     k = p.max_kpts
     top_s, top_i = jax.lax.top_k(score, k)
-    take = lambda x: jnp.take(x, top_i, axis=0)
-    uv_sel = take(uv_lvl)
-    oct_sel = take(octave)
+    # one widened MXU gather for all per-winner attributes (serialized
+    # row gathers are the TPU slow path — see ops/gather.py)
+    payload = jnp.concatenate(
+        [uv_lvl, octave[:, None].astype(jnp.float32),
+         valid[:, None].astype(jnp.float32)], axis=-1)
+    sel = take_mxu(payload, top_i)
+    uv_sel = sel[:, :2]
+    oct_sel = sel[:, 2].astype(jnp.int32)
     desc, angle = orb.describe_multilevel(levels, uv_sel, oct_sel)
     scale_tab = jnp.asarray([p.orb_scale_factor ** i
                              for i in range(p.orb_nlevels)], jnp.float32)
     uv0 = uv_sel * jnp.take(scale_tab, oct_sel)[:, None]
     return (uv0, desc, oct_sel, angle,
             jnp.where(jnp.isfinite(top_s), top_s, 0.0),
-            take(valid) & jnp.isfinite(top_s))
+            (sel[:, 3] > 0.5) & jnp.isfinite(top_s))
 
 
 def match_stereo_points(uv_l, desc_l, oct_l, valid_l,
@@ -113,7 +119,7 @@ def extract_stereo_points(img_l: jnp.ndarray, img_r: jnp.ndarray,
     mres = match_stereo_points(uv_l, desc_l, oct_l, val_l,
                                uv_r, desc_r, oct_r, val_r, cfg)
     idx = jnp.maximum(mres.idx, 0)
-    uv_rm = jnp.take(uv_r, idx, axis=0)
+    uv_rm = take_mxu(uv_r, idx)
     disp = uv_l[:, 0] - uv_rm[:, 0]
     valid = mres.valid & val_l & (disp > cfg.matching.min_disp)
     P = cam.back_project(uv_l, jnp.where(valid, disp, 1.0))

@@ -145,12 +145,34 @@ def select_topk_grid(score: jnp.ndarray, k_total: int, grid_rows: int,
     sp = jnp.pad(score, ((0, cell_h * grid_rows - H),
                          (0, cell_w * grid_cols - W)),
                  constant_values=-jnp.inf)
+    Hp, Wp = sp.shape
     nbh, nbw = cell_h // block, cell_w // block
-    v = sp.reshape(grid_rows, nbh, block, grid_cols, nbw, block)
-    v = v.transpose(0, 3, 1, 4, 2, 5).reshape(n_cells, nbh * nbw,
-                                              block * block)
-    bs = jnp.max(v, axis=-1)                           # (cells, nblocks)
-    bi = jnp.argmax(v, axis=-1).astype(jnp.int32)      # pos within block
+
+    # block max + argmax WITHOUT transposing the full-resolution map
+    # (the former (cells, nblocks, block^2) 6-axis transpose was the
+    # dominant detection cost on TPU — a layout-hostile full-res copy):
+    # lane-group reduce (pure reshape, W stays contiguous), then
+    # sublane-group reduce (strided axis-1 reduce), then the within-
+    # block row position recovered by an 8-term one-hot combine.
+    v1 = sp.reshape(Hp, Wp // block, block)
+    rmax = jnp.max(v1, axis=-1)                          # (Hp, Wb)
+    rarg = jnp.argmax(v1, axis=-1).astype(jnp.int32)     # lane within block
+    v2 = rmax.reshape(Hp // block, block, Wp // block)
+    bs_g = jnp.max(v2, axis=1)                           # (Hb, Wb)
+    brow = jnp.argmax(v2, axis=1).astype(jnp.int32)      # row within block
+    rarg3 = rarg.reshape(Hp // block, block, Wp // block)
+    bcol = jnp.zeros_like(brow)
+    for r in range(block):
+        bcol = jnp.where(brow == r, rarg3[:, r, :], bcol)
+    bi_g = brow * block + bcol                           # pos within block
+
+    # group blocks into detection-grid cells (small arrays from here on)
+    def cellify(a):
+        c = a.reshape(grid_rows, nbh, grid_cols, nbw)
+        return c.transpose(0, 2, 1, 3).reshape(n_cells, nbh * nbw)
+
+    bs = cellify(bs_g)
+    bi = cellify(bi_g)
     q = min(max(2 * k_total // n_cells, 1), nbh * nbw)
     cs, ci = lax.top_k(bs, q)                          # (cells, q) blocks
     inner = jnp.take_along_axis(bi, ci, axis=1)        # (cells, q)

@@ -28,6 +28,7 @@ from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.frontend.features import (LineObservations, PointObservations)
 from plslam_tpu.frontend.stereo_points import extract_stereo_points
 from plslam_tpu.ops import hamming
+from plslam_tpu.ops.gather import take_mxu
 from plslam_tpu.tracking import pose_gn
 
 
@@ -78,7 +79,7 @@ class TrackOutput(NamedTuple):
 def build_point_terms(prev: PointObservations, cur: PointObservations,
                       mres: hamming.MatchResult) -> pose_gn.PointTerms:
     idx = jnp.maximum(mres.idx, 0)
-    uv_obs = jnp.take(cur.uv, idx, axis=0)
+    uv_obs = take_mxu(cur.uv, idx)
     valid = mres.valid & prev.valid
     return pose_gn.PointTerms(prev.P, uv_obs, valid)
 
@@ -86,7 +87,7 @@ def build_point_terms(prev: PointObservations, cur: PointObservations,
 def build_line_terms(prev: LineObservations, cur: LineObservations,
                      mres: hamming.MatchResult) -> pose_gn.LineTerms:
     idx = jnp.maximum(mres.idx, 0)
-    le_obs = jnp.take(cur.le, idx, axis=0)
+    le_obs = take_mxu(cur.le, idx)
     valid = mres.valid & prev.valid
     return pose_gn.LineTerms(prev.sP, prev.eP, le_obs, valid)
 
