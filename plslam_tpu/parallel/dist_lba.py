@@ -216,3 +216,38 @@ def make_dist_lba_step(mesh, cam: StereoCamera, axis: str = "lm"):
                       in_specs=(obs_pt_spec, rep),
                       out_specs=(rep, rep, rep), check=False)
     return jax.jit(fn)
+
+
+def make_dist_lba_step_dp(mesh, cam: StereoCamera, kf_axis: str = "kf",
+                          lm_axis: str = "lm"):
+    """Data-parallel windows x landmark-sharded Schur on a 2D mesh.
+
+    The 'kf' mesh axis runs INDEPENDENT LBA windows (map blocks /
+    trajectory segments — e.g. concurrent sequences, BASELINE.json's
+    multi-host configuration) while each window's Schur reduction is
+    sharded over the 'lm' axis exactly as make_dist_lba_step. Input is a
+    batched LBAProblem with a leading window axis (length divisible by
+    mesh.shape['kf']); returns batched (dxi, d_pt, d_ep).
+    """
+    n_lm = mesh.shape[lm_axis]
+
+    def step(problems: lba_mod.LBAProblem, lam):
+        def one(problem):
+            blocks = _local_assemble(problem, cam, lm_axis)
+            return _schur_solve_local(
+                *blocks, (~problem.kf_fixed) & problem.kf_valid, lam,
+                lm_axis, n_lm)
+        return jax.vmap(one)(problems)
+
+    g = P(kf_axis)
+    prob_spec = lba_mod.LBAProblem(
+        kf_pose=g, kf_fixed=g, kf_valid=g, pt_pos=g, ep_pos=g,
+        obs_pt_uv=P(kf_axis, None, lm_axis, None),
+        obs_pt_disp=P(kf_axis, None, lm_axis),
+        obs_pt_id=P(kf_axis, None, lm_axis),
+        obs_ln_le=P(kf_axis, None, lm_axis, None),
+        obs_ln_sid=P(kf_axis, None, lm_axis),
+        obs_ln_eid=P(kf_axis, None, lm_axis))
+    fn = shard_map_fn(step, mesh, in_specs=(prob_spec, P()),
+                      out_specs=(g, g, g), check=False)
+    return jax.jit(fn)

@@ -101,3 +101,33 @@ def test_dist_lba_converges(problem):
             ep_pos=prob.ep_pos + d_ep)
     c1 = float(lba.lba_cost(prob, CAM))
     assert c1 < 0.2 * c0, (c0, c1)
+
+
+def test_dp_windows_match_per_window_steps():
+    """Data-parallel windows on the (kf, lm) mesh: two independent LBA
+    windows batched over the 'kf' axis must produce the same steps as
+    the lm-sharded step applied to each window alone."""
+    from plslam_tpu.parallel.dist_lba import make_dist_lba_step_dp
+    probs = []
+    for seed in (5, 11):
+        p, *_ = make_lba_problem(jax.random.PRNGKey(seed), W=4, P=64,
+                                 Q=16, noise_px=0.3)
+        probs.append(_pad_problem(p, k_mult=4, q_mult=4))
+    batched = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *probs)
+
+    lam = jnp.asarray(1e-4)
+    mesh2d = make_mesh(8, axes=("kf", "lm"))       # (2, 4)
+    assert mesh2d.shape["kf"] == 2 and mesh2d.shape["lm"] == 4
+    dp = make_dist_lba_step_dp(mesh2d, CAM)
+    dxi_b, dpt_b, dep_b = dp(batched, lam)
+
+    mesh1d = make_mesh(4, axes=("lm",))
+    single = make_dist_lba_step(mesh1d, CAM)
+    for g, prob in enumerate(probs):
+        dxi, d_pt, d_ep = single(prob, lam)
+        np.testing.assert_allclose(np.asarray(dxi_b[g]), np.asarray(dxi),
+                                   atol=4e-3)
+        np.testing.assert_allclose(np.asarray(dpt_b[g]), np.asarray(d_pt),
+                                   atol=4e-3)
+        np.testing.assert_allclose(np.asarray(dep_b[g]), np.asarray(d_ep),
+                                   atol=4e-3)
