@@ -1,0 +1,77 @@
+"""Full-SLAM benchmark: chunked tracking + mapping + loop closure,
+frames/sec on one TPU chip (BASELINE.json staged config 4).
+
+All frames are pre-rendered and pre-packed to uint8 BEFORE timing (the
+synthetic renderer is host-side numpy and not part of the engine); the
+timed region covers chunk tracking, host KF decisions, KF feature
+slicing, the fused per-KF mapping program (insertion + matching +
+triangulation + Schur LBA + culling) and per-KF place recognition on
+the mapping worker, exactly as deployed.
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/plslam_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from plslam_tpu.config import SlamConfig
+    from plslam_tpu.core.camera import StereoCamera
+    from plslam_tpu.io import synthetic
+    from plslam_tpu.backend.slam_system import ChunkedPLSLAM
+    from plslam_tpu.utils.evaluation import ate_rmse
+
+    cfg = SlamConfig()
+    if os.environ.get("LBA_ITERS"):
+        cfg = cfg.with_updates(
+            {"mapping": {"lba_iters": int(os.environ["LBA_ITERS"])}})
+    cam = StereoCamera.from_config(cfg.camera)
+    chunk = 20
+    n = 201
+    seq = synthetic.make_sequence(cam, n_frames=n, seed=0, kind="loop",
+                                  n_points=400, n_lines=60, noise=0.004,
+                                  step=0.15)
+    u8 = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    il = u8(np.asarray(seq.images_l))
+    ir = u8(np.asarray(seq.images_r))
+
+    def run():
+        slam = ChunkedPLSLAM(cfg, cam)
+        slam.initialize(il[0], ir[0])
+        t0 = None
+        for lo in range(1, n, chunk):
+            slam.process_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
+            if t0 is None:
+                t0 = time.perf_counter()   # first chunk absorbs compiles
+        est = slam.finish()
+        wall = time.perf_counter() - t0
+        return slam, est, wall, n - 1 - chunk
+
+    slam, est, wall, n_timed = run()                  # warmup/compile pass
+    best = float("inf")
+    for _ in range(3):                                # best-of (tunnel noise)
+        slam, est, wall, n_timed = run()
+        best = min(best, wall)
+    fps = n_timed / best
+    ate = float(ate_rmse(est, seq.poses[:len(est)]))
+    print(json.dumps({
+        "metric": "slam_frames_per_sec_chip",
+        "value": round(fps, 2), "unit": "fps",
+        "kfs": slam._kf_slot + 1,
+        "loops": slam.loop_closer.n_loops_closed if slam.loop_closer else 0,
+        "ate_rmse_m": round(ate, 4),
+        "vs_baseline": round(fps / 22.5, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,7 +151,12 @@ class MappingConfig:
     max_lines: int = 1024           # global map line capacity
     # per-KF observation capacities == the front-end feature capacities
     # (points.max_kpts / lines.max_lines); derived, not configured
-    lba_iters: int = 10             # LM iterations in LBA
+    lba_iters: int = 6              # LM iterations in LBA (accept/reject;
+                                    # converges in ~4-5 accepted steps on
+                                    # ground-truth scenes — 10 iters gave
+                                    # identical ATE at 1.5x the per-KF
+                                    # cost, and mapping shares the chip
+                                    # with tracking)
     lba_inlier_k: float = 2.0
     lba_min_sigma: float = 0.5      # px floor for the outlier gate scale
     min_lm_obs: int = 3             # cull landmarks with fewer obs (ref: min_lm_obs)

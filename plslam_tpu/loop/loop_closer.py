@@ -22,6 +22,7 @@ from plslam_tpu.config import SlamConfig
 from plslam_tpu.core import lie
 from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.ops import hamming
+from plslam_tpu.ops.gather import take_mxu
 from plslam_tpu.loop import vocabulary
 from plslam_tpu.loop.database import (BowDatabase, ConsistencyVoter,
                                       select_candidates)
@@ -68,8 +69,10 @@ def covisibility_counts(obs_pt_lm: jnp.ndarray, slot: jnp.ndarray,
     member = jnp.zeros((max_points,), jnp.float32).at[
         jnp.clip(lm_slot, 0, max_points - 1)].max(
         (lm_slot >= 0).astype(jnp.float32))                 # (P,) 0/1
-    hits = jnp.where(obs_pt_lm >= 0,
-                     member[jnp.clip(obs_pt_lm, 0, max_points - 1)], 0.0)
+    # membership lookup over the FULL (F, K) observation table = an
+    # (F*K)-element arbitrary gather — MXU one-hot contraction, chunked
+    # (the serialized native gather cost several ms per keyframe)
+    hits = jnp.where(obs_pt_lm >= 0, take_mxu(member, obs_pt_lm), 0.0)
     return jnp.sum(hits, axis=-1)                           # (F,)
 
 

@@ -26,15 +26,23 @@ from jax import lax
 _BLOCK = 128
 
 
+_M_CHUNK = 65536
+
+
 def take_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """``vals[idx]`` for (n,) or (n, k) float/int vals and (m,) int32 idx.
+    """``vals[idx]`` for (n,) or (n, k) float/int vals and (m,) or
+    multi-dim int32 idx (output keeps idx's shape [+ (k,)]).
 
     Out-of-range indices are clamped to [0, n). k must be small (the
-    (m, 128*k) level-1 product is materialized per call).
+    (m, 128*k) level-1 product is materialized per call). Index sets
+    larger than 64k are processed in static chunks to bound the one-hot
+    intermediates.
     """
     squeeze = vals.ndim == 1
     if squeeze:
         vals = vals[:, None]
+    idx_shape = idx.shape
+    idx = idx.reshape(-1)
     n, k = vals.shape
     int_in = jnp.issubdtype(vals.dtype, jnp.integer)
     v = vals.astype(jnp.float32)
@@ -45,17 +53,29 @@ def take_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     V = v.reshape(nb, _BLOCK * k)
 
     idx = jnp.clip(idx.astype(jnp.int32), 0, n - 1)
-    hi = idx // _BLOCK
-    lo = idx % _BLOCK
     m = idx.shape[0]
-    oh_hi = (hi[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
-             ).astype(jnp.float32)                        # (m, nb)
-    rows = jnp.dot(oh_hi, V, precision=lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)    # (m, 128k)
-    oh_lo = (lo[:, None] == jnp.arange(_BLOCK, dtype=jnp.int32)[None, :]
-             ).astype(jnp.float32)                        # (m, 128)
-    out = jnp.einsum("mbk,mb->mk", rows.reshape(m, _BLOCK, k), oh_lo,
-                     precision=lax.Precision.HIGHEST)
+
+    def chunk(ix):
+        mc = ix.shape[0]
+        hi = ix // _BLOCK
+        lo = ix % _BLOCK
+        oh_hi = (hi[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.float32)                     # (mc, nb)
+        rows = jnp.dot(oh_hi, V, precision=lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # (mc, 128k)
+        oh_lo = (lo[:, None] == jnp.arange(_BLOCK, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.float32)                     # (mc, 128)
+        return jnp.einsum("mbk,mb->mk", rows.reshape(mc, _BLOCK, k), oh_lo,
+                          precision=lax.Precision.HIGHEST)
+
+    if m <= _M_CHUNK:
+        out = chunk(idx)
+    else:
+        mp = -(-m // _M_CHUNK) * _M_CHUNK
+        ixp = jnp.pad(idx, (0, mp - m))
+        out = jnp.concatenate([chunk(ixp[o:o + _M_CHUNK])
+                               for o in range(0, mp, _M_CHUNK)])[:m]
     if int_in:
         out = jnp.round(out).astype(vals.dtype)
-    return out[:, 0] if squeeze else out
+    out = out[:, 0] if squeeze else out
+    return out.reshape(idx_shape if squeeze else idx_shape + (k,))
