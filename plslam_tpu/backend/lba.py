@@ -165,6 +165,23 @@ def lba_cost(problem: LBAProblem, cam: StereoCamera) -> jnp.ndarray:
             + jnp.sum(w_e * re ** 2))
 
 
+def _bin_landmark_blocks(obs_id, n_lm: int, c_hh, c_g, c_ch):
+    """Sum per-observation normal-equation contributions onto landmark
+    slots: one (W, K, n_lm) one-hot contraction over a concatenated
+    payload (Hxx 3x3 | g 3 | H_cx 6x3). obs_id < 0 rows bin nowhere.
+    Returns (Hxx (n,3,3), g (n,3), H_cx (W,n,6,3))."""
+    W, K = obs_id.shape
+    payload = jnp.concatenate(
+        [c_hh.reshape(W, K, 9), c_g, c_ch.reshape(W, K, 18)], axis=-1)
+    onehot = (obs_id[..., None] == jnp.arange(n_lm, dtype=jnp.int32)
+              ).astype(jnp.float32)                      # (W, K, n)
+    out = _einsum_hi("w k n, w k c -> w n c", onehot, payload)
+    Hxx = jnp.sum(out[..., :9], axis=0).reshape(n_lm, 3, 3)
+    g = jnp.sum(out[..., 9:12], axis=0)
+    H_cx = out[..., 12:].reshape(W, n_lm, 6, 3)
+    return Hxx, g, H_cx
+
+
 def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
                         pin_weight: float = 1e8):
     """One damped step: returns (dxi (W,6), d_pt (P,3), d_ep (Q,3))."""
@@ -199,35 +216,30 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
            + _einsum_hi("w l, w l a, w l -> w a", ws, Jcs, rs)
            + _einsum_hi("w l, w l a, w l -> w a", we, Jce, re))
 
-    # ---- landmark blocks (scatter-add over ids) ------------------------
-    pid = jnp.maximum(problem.obs_pt_id, 0)
-    Hpp = jnp.zeros((P, 3, 3)).at[pid.reshape(-1)].add(
-        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jp, Jp
-                   ).reshape(-1, 3, 3))
-    g_p = jnp.zeros((P, 3)).at[pid.reshape(-1)].add(
-        _einsum_hi("w k, w k i a, w k i -> w k a", w, Jp, r).reshape(-1, 3))
-    # H_cp dense over (W, P): scatter per-obs Jc^T w Jp blocks
-    Hcp_contrib = _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jc, Jp)
-    w_rows = jnp.broadcast_to(jnp.arange(W)[:, None], pid.shape).reshape(-1)
-    H_cp = jnp.zeros((W, P, 6, 3)).at[w_rows, pid.reshape(-1)].add(
-        Hcp_contrib.reshape(-1, 6, 3))
+    # ---- landmark blocks -------------------------------------------------
+    # Per-observation contributions are binned onto landmark slots with ONE
+    # one-hot MXU contraction per id family instead of serialized
+    # scatter-adds (TPU lowers .at[idx].add to ~per-index ops; measured
+    # ~1.7 ms for the two point scatters alone at production shapes).
+    # All three payloads (Hpp 9, g_p 3, H_cp 18) are concatenated so the
+    # (W, K, P) one-hot is contracted exactly once.
+    Hpp, g_p, H_cp = _bin_landmark_blocks(
+        problem.obs_pt_id, P,
+        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jp, Jp),
+        _einsum_hi("w k, w k i a, w k i -> w k a", w, Jp, r),
+        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jc, Jp))
 
-    sid = jnp.maximum(problem.obs_ln_sid, 0)
-    eid = jnp.maximum(problem.obs_ln_eid, 0)
     Hqq = jnp.zeros((Q, 3, 3))
     g_q = jnp.zeros((Q, 3))
     H_cq = jnp.zeros((W, Q, 6, 3))
-    w_rows_l = jnp.broadcast_to(jnp.arange(W)[:, None], sid.shape).reshape(-1)
-    for (ids_, ww, Jcx, Jpx, rx) in ((sid, ws, Jcs, Jps, rs),
-                                     (eid, we, Jce, Jpe, re)):
-        Hqq = Hqq.at[ids_.reshape(-1)].add(
-            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jpx, Jpx
-                       ).reshape(-1, 3, 3))
-        g_q = g_q.at[ids_.reshape(-1)].add(
-            _einsum_hi("w l, w l a, w l -> w l a", ww, Jpx, rx).reshape(-1, 3))
-        H_cq = H_cq.at[w_rows_l, ids_.reshape(-1)].add(
-            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jcx, Jpx
-                       ).reshape(-1, 6, 3))
+    for (ids_, ww, Jcx, Jpx, rx) in ((problem.obs_ln_sid, ws, Jcs, Jps, rs),
+                                     (problem.obs_ln_eid, we, Jce, Jpe, re)):
+        Hq1, gq1, Hcq1 = _bin_landmark_blocks(
+            ids_, Q,
+            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jpx, Jpx),
+            _einsum_hi("w l, w l a, w l -> w l a", ww, Jpx, rx),
+            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jcx, Jpx))
+        Hqq, g_q, H_cq = Hqq + Hq1, g_q + gq1, H_cq + Hcq1
 
     # ---- damping + landmark inverse ------------------------------------
     eye3 = jnp.eye(3)

@@ -27,6 +27,7 @@ from plslam_tpu.core import lie
 from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.frontend.features import LineObservations, PointObservations
 from plslam_tpu.ops import hamming
+from plslam_tpu.ops.gather import take_mxu
 
 
 class MapState(NamedTuple):
@@ -211,9 +212,13 @@ def add_keyframe(state: MapState, pts: PointObservations,
         obs_ln_le = state.obs_ln_le.at[slot].set(lns.le)
         obs_ln_lm = state.obs_ln_lm.at[slot].set(
             jnp.where(lns.valid, lfeat_lm, -1))
+        # disparities masked to 0 for invalid detections: downstream
+        # consumers (loop verification) use ends[:, 4] > 0 as validity
         obs_ln_ends = state.obs_ln_ends.at[slot].set(
-            jnp.concatenate([lns.sp, lns.ep, lns.sdisp[:, None],
-                             lns.edisp[:, None]], axis=-1))
+            jnp.concatenate([lns.sp, lns.ep,
+                             jnp.where(lns.valid, lns.sdisp, 0.0)[:, None],
+                             jnp.where(lns.valid, lns.edisp, 0.0)[:, None]],
+                            axis=-1))
         kf_ln_desc = state.kf_ln_desc.at[slot].set(hamming.pack_bits(lns.desc))
         n_ln_matched = jnp.sum(ln_matched)
     else:
@@ -304,7 +309,8 @@ def fuse_loop_landmarks(state: MapState, slot_a: jnp.ndarray,
     """loopClosureFuseLandmarks parity (fusion half): after the pose-graph
     correction, landmarks observed by the two loop KFs that match by
     descriptor and lie close in 3D are duplicates — merge into the older
-    slot and redirect every observation table entry."""
+    slot and redirect every observation table entry. Both families fuse
+    (the reference fuses MapPoints AND MapLines)."""
     P = state.pt_pos.shape[0]
     lm_a = state.obs_pt_lm[slot_a]
     lm_b = state.obs_pt_lm[slot_b]
@@ -335,8 +341,42 @@ def fuse_loop_landmarks(state: MapState, slot_a: jnp.ndarray,
         False, mode="drop")
     pt_nobs = state.pt_nobs.at[jnp.where(fuse, keep, P)].add(
         jnp.where(fuse, state.pt_nobs[dup], 0), mode="drop")
-    return state._replace(obs_pt_lm=obs_pt_lm, pt_valid=pt_valid,
-                          pt_nobs=pt_nobs), jnp.sum(fuse)
+    state = state._replace(obs_pt_lm=obs_pt_lm, pt_valid=pt_valid,
+                           pt_nobs=pt_nobs)
+
+    # ---- line landmarks (LBD match + endpoint proximity) ----------------
+    M = state.ln_spos.shape[0]
+    llm_a = state.obs_ln_lm[slot_a]
+    llm_b = state.obs_ln_lm[slot_b]
+    lok_a = llm_a >= 0
+    lok_b = llm_b >= 0
+    ldesc_a = hamming.unpack_bits(state.kf_ln_desc[slot_a].reshape(-1, 8))
+    ldesc_b = hamming.unpack_bits(state.kf_ln_desc[slot_b].reshape(-1, 8))
+    ldist = hamming.hamming_matrix(ldesc_a, ldesc_b, lok_a, lok_b)
+    lmres = hamming.match_nnr(ldist, cfg.matching.max_hamming_l,
+                              cfg.matching.min_ratio_12_l, mutual=True)
+    lidx_b = jnp.maximum(lmres.idx, 0)
+    ma = jnp.maximum(llm_a, 0)
+    mb = jnp.maximum(llm_b[lidx_b], 0)
+    mida = 0.5 * (state.ln_spos[ma] + state.ln_epos[ma])
+    midb = 0.5 * (state.ln_spos[mb] + state.ln_epos[mb])
+    lclose = jnp.sum((mida - midb) ** 2, axis=-1) < 0.25
+    lfuse = (lmres.valid & lok_a & (llm_b[lidx_b] >= 0) & lclose
+             & (ma != mb))
+    lkeep = jnp.minimum(ma, mb)
+    ldup = jnp.maximum(ma, mb)
+    lremap = jnp.arange(M, dtype=jnp.int32)
+    lremap = lremap.at[jnp.where(lfuse, ldup, M)].set(
+        jnp.where(lfuse, lkeep, 0), mode="drop")
+    lo = state.obs_ln_lm
+    obs_ln_lm = jnp.where(lo >= 0, lremap[jnp.maximum(lo, 0)], -1)
+    ln_valid = state.ln_valid.at[jnp.where(lfuse, ldup, M)].set(
+        False, mode="drop")
+    ln_nobs = state.ln_nobs.at[jnp.where(lfuse, lkeep, M)].add(
+        jnp.where(lfuse, state.ln_nobs[ldup], 0), mode="drop")
+    state = state._replace(obs_ln_lm=obs_ln_lm, ln_valid=ln_valid,
+                           ln_nobs=ln_nobs)
+    return state, jnp.sum(fuse) + jnp.sum(lfuse)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -353,14 +393,19 @@ def cull_landmarks(state: MapState, cfg: SlamConfig) -> MapState:
     # detach every observation of a culled landmark: its slot will be
     # recycled, and a stale obs_pt_lm entry would silently re-bind old
     # KF observations to whatever landmark lands in the slot next
-    # (corrupting LBA residuals and covisibility counts)
+    # (corrupting LBA residuals and covisibility counts). The lookup
+    # spans the FULL (F, K) obs table (~half a million indices) — the
+    # native serialized gather cost ~5 ms/KF here; take_mxu makes it
+    # an MXU contraction.
     obs_pt_lm = jnp.where(
         (state.obs_pt_lm >= 0)
-        & bad_pt[jnp.clip(state.obs_pt_lm, 0, bad_pt.shape[0] - 1)],
+        & (take_mxu(bad_pt.astype(jnp.float32),
+                    jnp.maximum(state.obs_pt_lm, 0)) > 0.5),
         -1, state.obs_pt_lm)
     obs_ln_lm = jnp.where(
         (state.obs_ln_lm >= 0)
-        & bad_ln[jnp.clip(state.obs_ln_lm, 0, bad_ln.shape[0] - 1)],
+        & (take_mxu(bad_ln.astype(jnp.float32),
+                    jnp.maximum(state.obs_ln_lm, 0)) > 0.5),
         -1, state.obs_ln_lm)
     return state._replace(pt_valid=state.pt_valid & ~bad_pt,
                           ln_valid=state.ln_valid & ~bad_ln,

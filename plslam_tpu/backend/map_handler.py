@@ -29,11 +29,36 @@ from plslam_tpu.backend.map import (MapState, add_keyframe, cull_landmarks,
                                     init_map_state, remove_redundant_kfs)
 
 
+def _compact_landmarks(valid, last_kf, start, cap: int):
+    """Pick <= cap window-touched landmark slots, newest-touched first.
+
+    The LBA window problem only ever needs landmarks observed by a window
+    KF; ``last_kf >= start`` is a cheap superset of that (last_kf only
+    grows). Compacting the solve onto these slots is what the reference's
+    localBundleAdjustment does by construction (it optimizes the LOCAL
+    map, never the full store) — and at TPU production capacities it
+    shrinks every landmark-axis array in the solver ~2-4x.
+
+    Returns (ids (cap,), sel (cap,) bool, remap (N,) -> [-1, cap),
+    n_overflow)."""
+    touched = valid & (last_kf >= start)
+    key = jnp.where(touched, -last_kf, jnp.int32(2 ** 30))
+    ids = jnp.argsort(key)[:cap].astype(jnp.int32)
+    sel = touched[ids]
+    n = valid.shape[0]
+    remap = jnp.full((n,), -1, jnp.int32).at[
+        jnp.where(sel, ids, n)].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    n_overflow = jnp.maximum(jnp.sum(touched) - cap, 0)
+    return ids, sel, remap, n_overflow
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def run_window_lba(state: MapState, cam: StereoCamera, cfg: SlamConfig
-                   ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray]:
-    """Build the LBA problem from the last (window+fixed) KF slots, run
-    robust LM, scatter results back. Returns (state, cost0, cost1)."""
+                   ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray, dict]:
+    """Build the COMPACT LBA problem from the last (window+fixed) KF
+    slots (window-touched landmarks only — see _compact_landmarks), run
+    robust LM, scatter results back. Returns (state, cost0, cost1, diag)."""
     m = cfg.mapping
     span = m.window_kfs + m.fixed_kfs
     F = state.kf_pose.shape[0]
@@ -47,18 +72,34 @@ def run_window_lba(state: MapState, cam: StereoCamera, cfg: SlamConfig
     # stay fixed — gauge + the reference's fixed-KF scheme
     fixed = (slots < state.n_kfs - m.window_kfs) | (slots == 0)
 
+    P = state.pt_pos.shape[0]
     Ml = state.ln_spos.shape[0]
-    ep_pos = jnp.stack([state.ln_spos, state.ln_epos], axis=1).reshape(2 * Ml, 3)
+    P_loc = min(m.lba_max_points, P)
+    M_loc = min(m.lba_max_lines, Ml)
+
+    ids_pt, sel_pt, remap_pt, pt_over = _compact_landmarks(
+        state.pt_valid, state.pt_last_kf, start, P_loc)
+    pt_loc = state.pt_pos[ids_pt]
+    obs_pt_orig = state.obs_pt_lm[slots]
+    obs_pt_id = jnp.where(obs_pt_orig >= 0,
+                          remap_pt[jnp.maximum(obs_pt_orig, 0)], -1)
+
+    ids_ln, sel_ln, remap_ln, ln_over = _compact_landmarks(
+        state.ln_valid, state.ln_last_kf, start, M_loc)
+    s_loc = state.ln_spos[ids_ln]
+    e_loc = state.ln_epos[ids_ln]
+    ep_loc = jnp.stack([s_loc, e_loc], axis=1).reshape(2 * M_loc, 3)
     ln_lm = state.obs_ln_lm[slots]
-    sid = jnp.where(ln_lm >= 0, 2 * ln_lm, -1)
-    eid = jnp.where(ln_lm >= 0, 2 * ln_lm + 1, -1)
+    lm_loc = jnp.where(ln_lm >= 0, remap_ln[jnp.maximum(ln_lm, 0)], -1)
+    sid = jnp.where(lm_loc >= 0, 2 * lm_loc, -1)
+    eid = jnp.where(lm_loc >= 0, 2 * lm_loc + 1, -1)
 
     prob = lba.LBAProblem(
         kf_pose=T_cw, kf_fixed=fixed, kf_valid=kf_valid,
-        pt_pos=state.pt_pos, ep_pos=ep_pos,
+        pt_pos=pt_loc, ep_pos=ep_loc,
         obs_pt_uv=state.obs_pt_uv[slots],
         obs_pt_disp=state.obs_pt_disp[slots],
-        obs_pt_id=state.obs_pt_lm[slots],
+        obs_pt_id=obs_pt_id,
         obs_ln_le=state.obs_ln_le[slots],
         obs_ln_sid=sid, obs_ln_eid=eid)
     res = lba.run_lba(prob, cam, cfg)
@@ -66,18 +107,25 @@ def run_window_lba(state: MapState, cam: StereoCamera, cfg: SlamConfig
     new_pose_w = jax.vmap(lie.inverse_se3)(res.kf_pose)
     kf_pose = state.kf_pose.at[slots].set(
         jnp.where(kf_valid[:, None, None], new_pose_w, kf_pose_w))
-    eps = res.ep_pos.reshape(Ml, 2, 3)
-    # mark outlier observations (mapHandler outlier flags): detach them
+    # scatter optimized landmark positions back to their global slots
+    pt_pos = state.pt_pos.at[jnp.where(sel_pt, ids_pt, P)].set(
+        res.pt_pos, mode="drop")
+    eps = res.ep_pos.reshape(M_loc, 2, 3)
+    lidx = jnp.where(sel_ln, ids_ln, Ml)
+    ln_spos = state.ln_spos.at[lidx].set(eps[:, 0], mode="drop")
+    ln_epos = state.ln_epos.at[lidx].set(eps[:, 1], mode="drop")
+    # mark outlier observations (mapHandler outlier flags): detach them.
+    # An obs that never entered the solve (obs_pt_id < 0: unattached OR
+    # compaction overflow) must stay attached — only solved outliers go.
     obs_pt_lm = state.obs_pt_lm.at[slots].set(
-        jnp.where(res.obs_pt_inlier | (state.obs_pt_lm[slots] < 0),
-                  state.obs_pt_lm[slots], -1))
+        jnp.where(res.obs_pt_inlier | (obs_pt_id < 0), obs_pt_orig, -1))
     obs_ln_lm = state.obs_ln_lm.at[slots].set(
-        jnp.where(res.obs_ln_inlier | (state.obs_ln_lm[slots] < 0),
-                  state.obs_ln_lm[slots], -1))
-    new_state = state._replace(kf_pose=kf_pose, pt_pos=res.pt_pos,
-                               ln_spos=eps[:, 0], ln_epos=eps[:, 1],
+        jnp.where(res.obs_ln_inlier | (sid < 0), ln_lm, -1))
+    new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos,
+                               ln_spos=ln_spos, ln_epos=ln_epos,
                                obs_pt_lm=obs_pt_lm, obs_ln_lm=obs_ln_lm)
-    return new_state, res.cost0, res.cost1
+    diag = {"lba_pt_overflow": pt_over, "lba_ln_overflow": ln_over}
+    return new_state, res.cost0, res.cost1, diag
 
 
 @partial(jax.jit, static_argnames=("cfg", "run_lba_flag"))
@@ -92,7 +140,8 @@ def mapping_step(state: MapState, pts, lns, T_w_kf, cam: StereoCamera,
     state, diag = add_keyframe(state, pts, lns, T_w_kf, cam, cfg)
     c0 = c1 = jnp.asarray(0.0)
     if run_lba_flag:
-        state, c0, c1 = run_window_lba(state, cam, cfg)
+        state, c0, c1, lba_diag = run_window_lba(state, cam, cfg)
+        diag = {**diag, **lba_diag}
         state, _ = remove_redundant_kfs(state, cfg)
     state = cull_landmarks(state, cfg)
     return state, diag, c0, c1
@@ -105,6 +154,44 @@ class KeyFrameSummary(NamedTuple):
     n_new_points: int
     lba_cost0: float
     lba_cost1: float
+    lba_pt_overflow: int = 0    # window obs dropped by LBA compaction
+    lba_ln_overflow: int = 0    # (never silent — see MappingConfig)
+
+
+class PendingSummary(NamedTuple):
+    """A KF summary whose scalars still live on device. The mapping
+    worker shares the chip's execution stream with tracking, and on
+    tunnel-attached runtimes every device_get is a ~25-40 ms round
+    trip — so in async mode the per-KF fetch is deferred until someone
+    actually reads ``summaries`` (the loop closer's on_done hook only
+    needs ``slot``, which is host-known)."""
+    slot: int
+    refs: tuple                 # device arrays, see _materialize
+
+
+class PendingBatch(NamedTuple):
+    """Deferred summaries of one fused chunk-backend dispatch."""
+    slots: tuple                # host ints (valid KFs only)
+    refs: tuple                 # (poses (kmax,4,4), stats (kmax,6))
+
+
+def _materialize(slot: int, refs) -> KeyFrameSummary:
+    refs = jax.device_get(refs)
+    return KeyFrameSummary(
+        slot=slot, T_w_kf=np.asarray(refs[0]),
+        n_map_matches=int(refs[1]), n_new_points=int(refs[2]),
+        lba_cost0=float(refs[3]), lba_cost1=float(refs[4]),
+        lba_pt_overflow=int(refs[5]), lba_ln_overflow=int(refs[6]))
+
+
+def _materialize_batch(slots, refs):
+    poses, stats = jax.device_get(refs)
+    return [KeyFrameSummary(
+        slot=s, T_w_kf=np.asarray(poses[j]),
+        n_map_matches=int(stats[j, 2]), n_new_points=int(stats[j, 3]),
+        lba_cost0=float(stats[j, 0]), lba_cost1=float(stats[j, 1]),
+        lba_pt_overflow=int(stats[j, 4]), lba_ln_overflow=int(stats[j, 5]))
+        for j, s in enumerate(slots)]
 
 
 class MapHandler:
@@ -119,11 +206,14 @@ class MapHandler:
         self.cfg = cfg
         self.cam = cam
         self.state = init_map_state(cfg)
-        self.summaries = []
+        self._records = []          # KeyFrameSummary | PendingSummary
+        self._next_slot = 0
         self._lock = threading.Lock()
         self._async = cfg.system.async_mapping
         self._queue: "queue.Queue" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
+        self._fused = None          # lazily-built fused chunk-backend step
+        self._fused_probe_on = None
         if self._async:
             self._worker = threading.Thread(target=self._work_loop, daemon=True)
             self._worker.start()
@@ -131,17 +221,38 @@ class MapHandler:
     # -- keyframe ingestion --------------------------------------------------
     def add_keyframe(self, pts, lns, T_w_kf: np.ndarray, run_lba: bool = True,
                      on_done=None) -> Optional[KeyFrameSummary]:
-        """``on_done(summary)`` runs after the KF is processed — on the
+        """``on_done(record)`` runs after the KF is processed — on the
         worker thread in async mode (so e.g. loop-closure checks ride the
         mapping thread instead of blocking the tracker), inline in sync
-        mode."""
+        mode. The record is a KeyFrameSummary in sync mode and a
+        fetch-free PendingSummary (``.slot`` only) in async mode."""
         if self._async:
-            self._queue.put((pts, lns, np.asarray(T_w_kf), run_lba, on_done))
+            self._queue.put(("kf", pts, lns, np.asarray(T_w_kf), run_lba,
+                             on_done))
             return None
         summary = self._process(pts, lns, T_w_kf, run_lba)
         if on_done is not None:
             on_done(summary)
         return summary
+
+    def add_keyframes_fused(self, all_pts, all_lns, frame_idx, T_rels,
+                            loop_closer=None) -> None:
+        """Process a chunk's keyframes as fused device dispatches (see
+        backend.chunk_backend): ONE program + ONE fetch per <=kf_batch
+        KFs instead of ~5 dispatches per KF. ``all_pts``/``all_lns`` are
+        the chunk's device-resident stacked features (packed descriptors,
+        batch_vo ``keep_feats``); ``frame_idx`` selects the KF frames and
+        ``T_rels[j]`` is KF j's tracker pose RELATIVE to the previous KF
+        (composed in-program against the previous KF's current corrected
+        pose — delayed correction pickup). When ``loop_closer`` is given,
+        the BoW probe rides the same program and its host logic (edges/
+        votes/closures) runs on the worker from one batched fetch."""
+        job = ("batch", all_pts, all_lns, list(frame_idx),
+               [np.asarray(T, np.float32) for T in T_rels], loop_closer)
+        if self._async:
+            self._queue.put(job)
+            return
+        self._process_batch(*job[1:])
 
     def _work_loop(self):
         while True:
@@ -150,32 +261,101 @@ class MapHandler:
                 self._queue.task_done()
                 return
             try:
-                summary = self._process(*job[:4])
-                if job[4] is not None:
-                    job[4](summary)
+                if job[0] == "kf":
+                    summary = self._process(*job[1:5])
+                    if job[5] is not None:
+                        job[5](summary)
+                else:
+                    self._process_batch(*job[1:])
             except Exception as e:  # surfaced via summaries
                 print(f"[map_handler] worker error: {e!r}")
             finally:
                 self._queue.task_done()
 
-    def _process(self, pts, lns, T_w_kf, run_lba_flag) -> KeyFrameSummary:
+    def _process(self, pts, lns, T_w_kf, run_lba_flag):
         with self._lock:
             state, diag, c0, c1 = mapping_step(
                 self.state, pts, lns, jnp.asarray(T_w_kf, jnp.float32),
                 self.cam, self.cfg, run_lba_flag=bool(run_lba_flag))
             self.state = state
-            # one batched host fetch for the whole summary (each separate
-            # np.asarray is a full runtime round-trip)
-            slot_d = diag["kf_slot"]
-            fetched = jax.device_get(
-                (slot_d, jnp.take(state.kf_pose, slot_d, axis=0),
-                 diag["n_map_matches"], diag["n_new_points"], c0, c1))
-            summary = KeyFrameSummary(
-                slot=int(fetched[0]), T_w_kf=np.asarray(fetched[1]),
-                n_map_matches=int(fetched[2]), n_new_points=int(fetched[3]),
-                lba_cost0=float(fetched[4]), lba_cost1=float(fetched[5]))
-            self.summaries.append(summary)
-            return summary
+            slot = self._next_slot
+            self._next_slot += 1
+            refs = (jnp.take(state.kf_pose, diag["kf_slot"], axis=0),
+                    diag["n_map_matches"], diag["n_new_points"], c0, c1,
+                    diag.get("lba_pt_overflow", 0),
+                    diag.get("lba_ln_overflow", 0))
+            if self._async:
+                # no host fetch on the worker's hot path (see PendingSummary)
+                rec = PendingSummary(slot, refs)
+            else:
+                rec = _materialize(slot, refs)
+            self._records.append(rec)
+            return rec
+
+    def _get_fused(self, loop_closer):
+        probe_on = loop_closer is not None
+        if self._fused is None or self._fused_probe_on != probe_on:
+            from plslam_tpu.backend.chunk_backend import make_chunk_backend
+            voc_p = loop_closer.db.voc_p if probe_on else None
+            voc_l = loop_closer.db.voc_l if probe_on else None
+            self._fused = make_chunk_backend(
+                self.cam, self.cfg, self.cfg.system.kf_batch, voc_p, voc_l)
+            self._fused_probe_on = probe_on
+        return self._fused
+
+    def _process_batch(self, all_pts, all_lns, frame_idx, T_list,
+                       loop_closer):
+        kmax = self.cfg.system.kf_batch
+        fused = self._get_fused(loop_closer)
+        dummy = jnp.zeros((1, 1), jnp.float32)
+        for off in range(0, len(frame_idx), kmax):
+            sub_i = frame_idx[off:off + kmax]
+            sub_T = T_list[off:off + kmax]
+            n = len(sub_i)
+            pad = kmax - n
+            idx_arr = jnp.asarray(sub_i + [0] * pad, jnp.int32)
+            T_arr = jnp.asarray(
+                np.stack(sub_T + [np.eye(4, dtype=np.float32)] * pad))
+            valid = jnp.asarray([True] * n + [False] * pad)
+            with self._lock:
+                if loop_closer is not None:
+                    bows_p, bows_l = loop_closer.db.bows_p, loop_closer.db.bows_l
+                    if bows_l is None:
+                        bows_l = dummy
+                else:
+                    bows_p = bows_l = dummy
+                (state, bp, bl, scores, covis, poses, stats) = fused(
+                    self.state, bows_p, bows_l, all_pts, all_lns,
+                    idx_arr, T_arr, valid)
+                self.state = state
+                if loop_closer is not None:
+                    loop_closer.db.bows_p = bp
+                    if loop_closer.db.bows_l is not None:
+                        loop_closer.db.bows_l = bl
+                slots = tuple(range(self._next_slot, self._next_slot + n))
+                self._next_slot += n
+                self._records.append(PendingBatch(slots, (poses, stats)))
+            if loop_closer is not None:
+                # handle this sub-batch's probes BEFORE inserting the
+                # next one (outside the lock: on_probe_batch re-acquires
+                # it), so a fired loop correction lands before later KFs
+                # anchor their windows to stale poses
+                loop_closer.on_probe_batch(self, slots, scores, covis,
+                                           poses)
+
+    @property
+    def summaries(self):
+        """Per-KF summaries, materialized on access (one batched fetch
+        for everything still pending)."""
+        with self._lock:
+            out = []
+            for i, r in enumerate(self._records):
+                if isinstance(r, PendingSummary):
+                    self._records[i] = r = _materialize(r.slot, r.refs)
+                elif isinstance(r, PendingBatch):
+                    self._records[i] = r = _materialize_batch(r.slots, r.refs)
+                out.extend(r if isinstance(r, list) else [r])
+            return out
 
     # -- queries -------------------------------------------------------------
     def wait_idle(self):

@@ -131,7 +131,6 @@ class ChunkedPLSLAM:
         self._kf_slot = -1
         self._T_kf_at_insert = np.eye(4, dtype=np.float32)
         self._T_kf = np.eye(4, dtype=np.float32)
-        self._take = None          # jitted per-frame feature slicer
         self._inflight = []        # n_valid per pending chunk
 
     def initialize(self, img_l: np.ndarray, img_r: np.ndarray) -> None:
@@ -145,18 +144,6 @@ class ChunkedPLSLAM:
                               on_done=on_done)
         self._kf_slot = 0
         self._frame_anchor = [(0, np.eye(4, dtype=np.float32))]
-
-    def _slice_frame(self, feats, i: int):
-        import jax
-        from plslam_tpu.ops import hamming
-        if self._take is None:
-            def take(f, k):
-                out = jax.tree_util.tree_map(
-                    lambda x: jnp.take(x, k, axis=0), f)
-                # chunk feature stacks carry bit-packed descriptors
-                return out._replace(desc=hamming.unpack_bits(out.desc))
-            self._take = jax.jit(take)
-        return self._take(feats, jnp.asarray(i, jnp.int32))
 
     def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
                       n_valid: Optional[int] = None) -> int:
@@ -178,7 +165,7 @@ class ChunkedPLSLAM:
         DT, cov, good = jax.device_get((out.DT, out.cov, out.good))
         self.vo._integrate(out, update_prior=False)
         B = DT.shape[0] if n_valid is None else n_valid
-        new_kfs = []
+        kf_frames, kf_rels = [], []
         for i in range(B):
             T_wc = self.vo.trajectory[base + i]
             T_rel = np.linalg.inv(self._T_kf_at_insert) @ T_wc
@@ -187,21 +174,25 @@ class ChunkedPLSLAM:
                 DT[i], cov[i], bool(good[i]),
                 np.linalg.inv(self._T_kf) @ T_wc)
             if is_kf:
-                pts_i = self._slice_frame(out.all_pts, i)
-                lns_i = (self._slice_frame(out.all_lns, i)
-                         if out.all_lns is not None else None)
-                # loop detection rides the mapping worker (on_done), so
-                # the tracking path never blocks on the back-end
-                on_done = None
-                if self.loop_closer is not None:
-                    on_done = (lambda s:
-                               self.loop_closer.on_keyframe(self.map, s.slot))
-                self.map.add_keyframe(pts_i, lns_i, T_wc, on_done=on_done)
+                kf_frames.append(i)
+                # pose RELATIVE to the previous KF: the back-end composes
+                # it against that KF's current (LBA/loop-corrected) pose,
+                # so corrections feed the live map instead of being
+                # deferred to finish()
+                kf_rels.append(
+                    (np.linalg.inv(self._T_kf) @ T_wc).astype(np.float32))
                 self._kf_slot += 1
                 self._T_kf_at_insert = T_wc.copy()
                 self._T_kf = T_wc.copy()
-                new_kfs.append(self._kf_slot)
-        return len(new_kfs)
+        if kf_frames:
+            # the whole chunk back-end (KF slicing + mapping + BoW probe,
+            # and the loop closer's host logic) rides the mapping worker
+            # as ONE fused dispatch + ONE fetch — the tracking path never
+            # blocks on the back-end and spends no per-KF round trips
+            self.map.add_keyframes_fused(out.all_pts, out.all_lns,
+                                         kf_frames, kf_rels,
+                                         loop_closer=self.loop_closer)
+        return len(kf_frames)
 
     def finish(self) -> np.ndarray:
         while self._inflight:

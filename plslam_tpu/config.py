@@ -74,6 +74,14 @@ class LineFeatureConfig:
     merge_dist_th: float = 2.5      # px, perpendicular distance gate
     merge_gap_th: float = 24.0      # px, segment-level merge gap (occlusion
                                     # bridging; ref line-merge option role)
+    # half-resolution (use_fld_lines) gate rescaling: detection evidence
+    # at half-res carries ~half the gradient mass and blurred ridges, so
+    # the corresponding gates shrink. These multiply min_support /
+    # elong_th / merge_gap_th ONLY when use_fld_lines=True, keeping the
+    # full-res gate values meaningful at both operating points.
+    fld_support_scale: float = 0.6
+    fld_elong_scale: float = 0.8
+    fld_gap_scale: float = 0.5
     lbd_bands: int = 9              # LBD number of bands
     lbd_band_width: int = 7         # LBD band width in px
     lbd_samples: int = 24           # samples along the segment
@@ -151,6 +159,14 @@ class MappingConfig:
     max_lines: int = 1024           # global map line capacity
     # per-KF observation capacities == the front-end feature capacities
     # (points.max_kpts / lines.max_lines); derived, not configured
+    # LBA problem capacities: the window solve runs on a COMPACTED local
+    # problem holding only window-touched landmarks (the reference's
+    # localBundleAdjustment likewise optimizes only the local map, never
+    # the full store). Overflow beyond these caps drops the newest-
+    # touched observations from the solve (reported in the KF diag as
+    # lba_pt/ln_overflow — never silent) but leaves the map intact.
+    lba_max_points: int = 4096
+    lba_max_lines: int = 512
     lba_iters: int = 6              # LM iterations in LBA (accept/reject;
                                     # converges in ~4-5 accepted steps on
                                     # ground-truth scenes — 10 iters gave
@@ -180,8 +196,15 @@ class LoopClosureConfig:
     min_kf_separation: int = 20     # temporal gap before a KF can be a candidate
     consistency_window: int = 3     # consecutive-KF temporal consistency votes
     max_loop_candidates: int = 4
-    pose_graph_iters: int = 12      # GN iterations on the essential graph
-    covis_min_shared: int = 25      # min shared landmarks for a covisibility edge
+    pose_graph_iters: int = 12      # GN iterations on the pose graph
+    # pose-graph edge set (ref: loopClosureOptimizationEssentialGraphG2O
+    # vs loopClosureOptimizationCovGraphG2O): "essential" = odometry +
+    # loop + strong covisibility edges (>= covis_min_shared shared
+    # landmarks); "covisibility" = the denser graph including every pair
+    # with >= covis_min_shared_cov shared landmarks
+    graph_type: str = "essential"
+    covis_min_shared: int = 25      # min shared landmarks, essential graph
+    covis_min_shared_cov: int = 10  # min shared landmarks, covisibility graph
     covis_edge_weight: float = 1.0  # pose-graph weight of covisibility edges
 
 
@@ -204,6 +227,17 @@ class CameraConfig:
 class SystemConfig:
     """Runtime knobs that replace the reference threading flags."""
     async_mapping: bool = True      # ref: mapHandler multithread flag
+    kf_batch: int = 2               # fused chunk-backend capacity: up to
+                                    # this many KFs per device dispatch
+                                    # (backend.chunk_backend); a chunk
+                                    # with more KFs dispatches again.
+                                    # 2 balances dispatch economy against
+                                    # loop-correction pickup latency (KFs
+                                    # of one dispatch insert before the
+                                    # batch's closures apply; measured on
+                                    # the every-frame-KF loop stress:
+                                    # ATE 0.15/0.19/0.24/0.34 m at
+                                    # kf_batch 1/2/3/4)
     dtype: str = "float32"
     bf16_matching: bool = True      # descriptor matmuls in bfloat16 on the MXU
     profile: bool = False

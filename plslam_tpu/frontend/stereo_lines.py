@@ -36,15 +36,17 @@ def detect_and_describe_lines(img: jnp.ndarray, cfg: SlamConfig
         small = resize_bilinear(img, (H // 2, W // 2))
         # gates retuned for half-res evidence: gradient mass per tile
         # halves and thin ridges blur, so support/elongation thresholds
-        # drop accordingly (validated on synthetic ground-truth scenes)
+        # drop by the configured fld_*_scale factors (validated on
+        # synthetic ground-truth scenes)
         segs = lines.detect_segments(
             small, max_lines=l.max_lines, tile=l.tile,
             grad_th=l.grad_th / 255.0 * 0.5,
-            min_support=l.min_support * 0.6, elong_th=l.elong_th * 0.8,
+            min_support=l.min_support * l.fld_support_scale,
+            elong_th=l.elong_th * l.fld_elong_scale,
             perp_spread_th=l.perp_spread_th, coherence_th=l.coherence_th,
             merge_iters=max(l.merge_iters * 3, 8),
             merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
-            merge_gap_th=l.merge_gap_th * 0.5,
+            merge_gap_th=l.merge_gap_th * l.fld_gap_scale,
             min_length=l.min_line_length * diag * 0.5)
         segs = segs._replace(sp=segs.sp * 2.0, ep=segs.ep * 2.0)
     else:

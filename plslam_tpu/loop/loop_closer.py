@@ -33,10 +33,13 @@ from plslam_tpu.tracking import pose_gn
 @partial(jax.jit, static_argnames=("cfg",))
 def verify_loop_geometry(kf_desc_a, obs_uv_a, obs_disp_a,
                          kf_desc_b, obs_uv_b,
+                         ln_desc_a, ln_ends_a, ln_desc_b, ln_ends_b,
+                         ln_le_b,
                          cam: StereoCamera, cfg: SlamConfig):
-    """isLoopClosure geometric half: BF-match the stored descriptors of
-    candidate KF a and current KF b, robust-GN solve T_ab mapping
-    a-frame 3D points onto b observations."""
+    """isLoopClosure geometric half: BF-match the stored ORB *and* LBD
+    descriptors of candidate KF a and current KF b (the reference matches
+    both families before the solve), robust-GN solve T_ab mapping
+    a-frame 3D points / line endpoints onto b observations."""
     desc_a = hamming.unpack_bits(kf_desc_a.reshape(-1, 8))
     desc_b = hamming.unpack_bits(kf_desc_b.reshape(-1, 8))
     valid_a = obs_disp_a > 0
@@ -49,8 +52,29 @@ def verify_loop_geometry(kf_desc_a, obs_uv_a, obs_disp_a,
     P_a = cam.back_project(obs_uv_a, jnp.where(valid_a, obs_disp_a, 1.0))
     uv_b = jnp.take(obs_uv_b, idx, axis=0)
     terms = pose_gn.PointTerms(P_a, uv_b, mres.valid & valid_a)
-    res = pose_gn.optimize_pose(jnp.eye(4), cam, terms, None, cfg)
-    return res, jnp.sum(mres.valid)
+
+    ln_terms = None
+    n_ln = jnp.asarray(0, jnp.int32)
+    if cfg.lines.has_lines:
+        ld_a = hamming.unpack_bits(ln_desc_a.reshape(-1, 8))
+        ld_b = hamming.unpack_bits(ln_desc_b.reshape(-1, 8))
+        lva = (ln_ends_a[:, 4] > 0) & (ln_ends_a[:, 5] > 0)
+        lvb = (ln_ends_b[:, 4] > 0) & (ln_ends_b[:, 5] > 0)
+        ldist = hamming.hamming_matrix(ld_a, ld_b, lva, lvb,
+                                       bf16=cfg.system.bf16_matching)
+        lres = hamming.match_nnr(ldist, cfg.matching.max_hamming_l,
+                                 cfg.matching.min_ratio_12_l, mutual=True)
+        lidx = jnp.maximum(lres.idx, 0)
+        sP_a = cam.back_project(ln_ends_a[:, 0:2],
+                                jnp.where(lva, ln_ends_a[:, 4], 1.0))
+        eP_a = cam.back_project(ln_ends_a[:, 2:4],
+                                jnp.where(lva, ln_ends_a[:, 5], 1.0))
+        le_b = jnp.take(ln_le_b, lidx, axis=0)
+        ln_terms = pose_gn.LineTerms(sP_a, eP_a, le_b, lres.valid & lva)
+        n_ln = jnp.sum(lres.valid)
+
+    res = pose_gn.optimize_pose(jnp.eye(4), cam, terms, ln_terms, cfg)
+    return res, jnp.sum(mres.valid) + n_ln
 
 
 @partial(jax.jit, static_argnames=("max_points",))
@@ -98,34 +122,36 @@ def apply_graph_correction(state, new_poses: jnp.ndarray):
         ln_epos=move(state.ln_epos, state.ln_first_kf))
 
 
-def _make_kf_probe(voc_p, voc_l, cfg: SlamConfig, has_lines: bool):
-    """insertKFBowVectorP/L + database query + covisibility counts fused
-    into one program. The vocabularies are closed over (their tree-shape
-    ints are Python loop bounds, so they cannot be jit arguments).
-    Returns fn(state, bows_p, bows_l, slot) ->
-    (bows_p, bows_l, scores, covis, pose)."""
+def probe_core(voc_p, voc_l, cfg: SlamConfig, has_lines: bool,
+               state, bows_p, bows_l, slot):
+    """insertKFBowVectorP/L + database query + covisibility counts as a
+    TRACEABLE unit — used standalone (jitted below) by the per-frame
+    system and inlined into the fused chunk back-end program
+    (backend.chunk_backend). The vocabularies are closed over (their
+    tree-shape ints are Python loop bounds, so they cannot be jit
+    arguments). Returns (bows_p, bows_l, scores, covis, pose)."""
     from plslam_tpu.loop.vocabulary import bow_vector, l1_score
 
-    @jax.jit
-    def probe(state, bows_p, bows_l, slot):
-        desc_p = hamming.unpack_bits(state.kf_pt_desc[slot].reshape(-1, 8))
-        valid_p = state.obs_pt_disp[slot] > 0
-        vp = bow_vector(voc_p, desc_p, valid_p)
-        bows_p2 = bows_p.at[slot].set(vp)
-        s = l1_score(bows_p2, vp[None, :])
-        bows_l2 = bows_l
-        if has_lines:
-            desc_l = hamming.unpack_bits(
-                state.kf_ln_desc[slot].reshape(-1, 8))
-            valid_l = state.obs_ln_lm[slot] >= 0
-            vl = bow_vector(voc_l, desc_l, valid_l)
-            bows_l2 = bows_l.at[slot].set(vl)
-            s = 0.5 * (s + l1_score(bows_l2, vl[None, :]))
-        covis = covisibility_counts(state.obs_pt_lm, slot,
-                                    cfg.mapping.max_points)
-        return bows_p2, bows_l2, s, covis, state.kf_pose[slot]
+    desc_p = hamming.unpack_bits(state.kf_pt_desc[slot].reshape(-1, 8))
+    valid_p = state.obs_pt_disp[slot] > 0
+    vp = bow_vector(voc_p, desc_p, valid_p)
+    bows_p2 = bows_p.at[slot].set(vp)
+    s = l1_score(bows_p2, vp[None, :])
+    bows_l2 = bows_l
+    if has_lines:
+        desc_l = hamming.unpack_bits(
+            state.kf_ln_desc[slot].reshape(-1, 8))
+        valid_l = state.obs_ln_lm[slot] >= 0
+        vl = bow_vector(voc_l, desc_l, valid_l)
+        bows_l2 = bows_l.at[slot].set(vl)
+        s = 0.5 * (s + l1_score(bows_l2, vl[None, :]))
+    covis = covisibility_counts(state.obs_pt_lm, slot,
+                                cfg.mapping.max_points)
+    return bows_p2, bows_l2, s, covis, state.kf_pose[slot]
 
-    return probe
+
+def _make_kf_probe(voc_p, voc_l, cfg: SlamConfig, has_lines: bool):
+    return jax.jit(partial(probe_core, voc_p, voc_l, cfg, has_lines))
 
 
 class LoopEvent(NamedTuple):
@@ -151,10 +177,11 @@ class LoopCloser:
         self.db = BowDatabase(cfg, voc_p, voc_l)
         self.voter = ConsistencyVoter(cfg.loop.consistency_window)
         self.odo_edges = []          # (i, j, T_rel np, w)
-        self.covis_edges = []        # (i, j, T_rel np, w) shared-landmark pairs
+        self.covis_edges = []        # (i, j, T_rel np, w, n_shared)
         self.loop_edges = []
         self.events = []
         self.n_loops_closed = 0
+        self.n_edges_dropped = 0     # covis edges lost to the E cap (telemetry)
         self._last_pose = None
         self._probe = None           # lazily-built fused per-KF program
 
@@ -177,8 +204,41 @@ class LoopCloser:
                                    jnp.asarray(slot))
             scores, covis, pose, n_kfs, kf_poses = jax.device_get(
                 (s_d, covis_d, pose_d, state.n_kfs, state.kf_pose))
-            n_kfs = int(n_kfs)
+        out = self._handle_probe_result(map_handler, slot, scores, covis,
+                                        pose, int(n_kfs), kf_poses)
+        return out[slot] if out is not None else None
 
+    def on_probe_batch(self, map_handler, slots, scores_d, covis_d, poses_d
+                       ) -> Optional[np.ndarray]:
+        """Consume the stacked probe outputs of a fused chunk-backend
+        dispatch (backend.chunk_backend): ONE host fetch for the whole
+        chunk, then the usual per-KF edge/candidate/vote logic in slot
+        order. Returns the last correction (if any loop closed)."""
+        with map_handler._lock:
+            state = map_handler.state
+            scores, covis, poses, n_kfs, kf_poses = jax.device_get(
+                (scores_d, covis_d, poses_d, state.n_kfs, state.kf_pose))
+        corrected = None
+        for j, slot in enumerate(slots):
+            if corrected is not None:
+                # a closure earlier in this batch moved every KF: the
+                # cached probe poses are stale — use corrected ones, or
+                # an odometry edge would mix pre-/post-correction frames
+                kf_poses = corrected
+                poses = kf_poses[list(slots)]
+            out = self._handle_probe_result(
+                map_handler, slot, scores[j], covis[j], poses[j],
+                int(n_kfs), kf_poses)
+            if out is not None:
+                corrected = out
+        return corrected
+
+    def _handle_probe_result(self, map_handler, slot: int, scores, covis,
+                             pose, n_kfs: int, kf_poses
+                             ) -> Optional[np.ndarray]:
+        """Returns the FULL corrected (F, 4, 4) pose array if this KF
+        fired a verified loop closure, else None."""
+        cfg = self.cfg
         # odometry edge from the previous KF
         if self._last_pose is not None:
             T_rel = np.linalg.inv(self._last_pose) @ pose
@@ -186,15 +246,20 @@ class LoopCloser:
         self._last_pose = pose
 
         # covisibility edges: non-adjacent earlier KFs sharing enough
-        # landmarks with this one get an essential-graph edge measured at
-        # insertion time (locally drift-free, like the reference's
-        # covisibility edges created as the map is built)
-        for f in np.nonzero(covis >= cfg.loop.covis_min_shared)[0]:
+        # landmarks with this one get a graph edge measured at insertion
+        # time (locally drift-free, like the reference's covisibility
+        # edges created as the map is built). graph_type selects the
+        # reference's essential-graph vs covisibility-graph optimization
+        # (loopClosureOptimization{EssentialGraph,CovGraph}G2O).
+        covis_th = (cfg.loop.covis_min_shared
+                    if cfg.loop.graph_type == "essential"
+                    else cfg.loop.covis_min_shared_cov)
+        for f in np.nonzero(covis >= covis_th)[0]:
             if f < slot - 1:
                 T_rel = np.linalg.inv(kf_poses[f]) @ pose
                 self.covis_edges.append(
                     (int(f), slot, T_rel.astype(np.float32),
-                     cfg.loop.covis_edge_weight))
+                     cfg.loop.covis_edge_weight, int(covis[f])))
 
         if slot < cfg.loop.min_kf_separation:
             return None
@@ -217,6 +282,9 @@ class LoopCloser:
                 state.kf_pt_desc[slot_a], state.obs_pt_uv[slot_a],
                 state.obs_pt_disp[slot_a],
                 state.kf_pt_desc[slot_b], state.obs_pt_uv[slot_b],
+                state.kf_ln_desc[slot_a], state.obs_ln_ends[slot_a],
+                state.kf_ln_desc[slot_b], state.obs_ln_ends[slot_b],
+                state.obs_ln_le[slot_b],
                 self.cam, cfg)
             T_ab = np.asarray(res.T)      # maps a-frame points -> b frame
             pose_a = np.asarray(state.kf_pose[slot_a])
@@ -241,17 +309,27 @@ class LoopCloser:
 
         self.loop_edges.append((slot_a, slot_b, T_meas, 2.0))
         corrected = self._optimize_graph(map_handler)
-        # fuse duplicate landmarks seen by both loop KFs
+        # fuse duplicate landmarks seen by both loop KFs, then re-converge
+        # the local window onto the corrected poses with one LBA pass (the
+        # reference gets this implicitly from the next KF's LBA; the fused
+        # batch path may insert several KFs before that happens)
         from plslam_tpu.backend.map import fuse_loop_landmarks
+        from plslam_tpu.backend.map_handler import run_window_lba
         with map_handler._lock:
-            map_handler.state, n_fused = fuse_loop_landmarks(
+            state, n_fused = fuse_loop_landmarks(
                 map_handler.state, jnp.asarray(slot_a), jnp.asarray(slot_b),
                 cfg)
+            if corrected is not None:
+                state, _, _, _ = run_window_lba(state, self.cam, cfg)
+                corrected = np.asarray(state.kf_pose)
+                vi = np.nonzero(np.asarray(state.kf_valid))[0]
+                self._last_pose = corrected[vi[-1]] if len(vi) else None
+            map_handler.state = state
         self.n_loops_closed += 1
         ev = LoopEvent(slot_a, slot_b, n_inl, err, t_mag, r_mag,
                        self._last_costs[0], self._last_costs[1])
         self.events.append(ev)
-        return corrected[slot_b] if corrected is not None else None
+        return corrected
 
     def _optimize_graph(self, map_handler) -> Optional[np.ndarray]:
         cfg = self.cfg
@@ -262,9 +340,16 @@ class LoopCloser:
             poses = state.kf_pose
             pose_valid = state.kf_valid
 
-        # odometry + loop edges are load-bearing; covis edges last so they
-        # are what the fixed-capacity truncation drops first
-        edges = self.odo_edges + self.loop_edges + self.covis_edges
+        # odometry + loop edges are load-bearing; covis edges last —
+        # weakest (fewest shared landmarks) first to be truncated, and the
+        # drop count is surfaced (never silent)
+        covis = sorted(self.covis_edges, key=lambda e: -e[4])
+        edges = self.odo_edges + self.loop_edges + [e[:4] for e in covis]
+        dropped = max(0, len(edges) - E)
+        if dropped > self.n_edges_dropped:
+            print(f"[loop_closer] pose-graph edge cap E={E}: dropping "
+                  f"{dropped} weakest covisibility edges")
+        self.n_edges_dropped = max(self.n_edges_dropped, dropped)
         ei = np.full((E,), 0, np.int32)
         ej = np.full((E,), 0, np.int32)
         eT = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
@@ -278,13 +363,30 @@ class LoopCloser:
         new_poses, c0, c1 = optimize_pose_graph(
             g, iters=cfg.loop.pose_graph_iters)
         self._last_costs = (float(c0), float(c1))
-        if not np.all(np.isfinite(np.asarray(new_poses))):
+        new_np = np.array(new_poses)    # writable host copy
+        if not np.all(np.isfinite(new_np)):
             return None
+        # KFs inserted after the probe snapshot have no graph edges yet
+        # (zero H block -> the optimizer leaves them untouched): they are
+        # rigidly attached by odometry, so propagate the last connected
+        # KF's correction — otherwise the next odometry edge would mix
+        # corrected and stale frames and the graph never re-converges
+        old_np = np.asarray(poses)
+        valid_np = np.asarray(pose_valid)
+        n_edges = min(len(edges), E)
+        if n_edges:
+            last = int(max(ei[:n_edges].max(), ej[:n_edges].max()))
+            delta = new_np[last] @ np.linalg.inv(old_np[last])
+            for s in range(last + 1, len(new_np)):
+                if valid_np[s]:
+                    new_np[s] = delta @ old_np[s]
+            new_poses = jnp.asarray(new_np)
         with map_handler._lock:
             map_handler.state = apply_graph_correction(map_handler.state,
                                                        new_poses)
             out = np.asarray(map_handler.state.kf_pose)
-        # refresh cached odometry anchor
-        self._last_pose = out[int(jnp.sum(pose_valid)) - 1] \
-            if bool(jnp.any(pose_valid)) else None
+        # refresh cached odometry anchor (last VALID slot — redundant-KF
+        # removal leaves holes, so a count-based index would be wrong)
+        vi = np.nonzero(valid_np)[0]
+        self._last_pose = out[vi[-1]] if len(vi) else None
         return out

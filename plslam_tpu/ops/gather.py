@@ -11,8 +11,10 @@ program), a two-level one-hot contraction is orders of magnitude faster:
     level 2: one-hot over lane id   -> masked row reduction     (VPU)
 
 Exactness: the level-1 matmul runs at HIGHEST precision (bf16x3+ passes,
-f32-exact for these magnitudes), so int32 payloads below 2^24 round-trip
-exactly through f32 — the label-propagation pointer jumps rely on this.
+f32-exact for these magnitudes). Integer payloads are split into two
+16-bit lanes before the f32 contraction and recombined after, so EVERY
+int32/uint32 value round-trips exactly (not just |v| < 2^24) — the
+label-propagation pointer jumps and slot-id remaps rely on this.
 
 Same design family as ops/image.bilinear_sample_mxu (reference parity:
 none — this is TPU plumbing the C++ reference never needed).
@@ -44,7 +46,15 @@ def take_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     idx_shape = idx.shape
     idx = idx.reshape(-1)
     n, k = vals.shape
+    out_dtype = vals.dtype
     int_in = jnp.issubdtype(vals.dtype, jnp.integer)
+    if int_in:
+        # split into (hi, lo) 16-bit lanes: each lane's magnitude stays
+        # below 2^16 << 2^24 (f32-exact), so arbitrary int32 payloads
+        # survive the float contraction; recombined after the gather
+        w32 = vals.astype(jnp.int32)
+        vals = jnp.concatenate([w32 >> 16, w32 & 0xFFFF], axis=-1)
+        k = 2 * k
     v = vals.astype(jnp.float32)
     nb = -(-n // _BLOCK)
     pad = nb * _BLOCK - n
@@ -76,6 +86,8 @@ def take_mxu(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         out = jnp.concatenate([chunk(ixp[o:o + _M_CHUNK])
                                for o in range(0, mp, _M_CHUNK)])[:m]
     if int_in:
-        out = jnp.round(out).astype(vals.dtype)
+        w = jnp.round(out).astype(jnp.int32)
+        k = k // 2
+        out = ((w[:, :k] << 16) | (w[:, k:] & 0xFFFF)).astype(out_dtype)
     out = out[:, 0] if squeeze else out
     return out.reshape(idx_shape if squeeze else idx_shape + (k,))

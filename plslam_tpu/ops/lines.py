@@ -232,7 +232,13 @@ def merge_segments(sp: jnp.ndarray, ep: jnp.ndarray, score: jnp.ndarray,
 
     def prop(_, lab):
         cand = jnp.where(ok, lab[None, :], M)
-        return jnp.minimum(lab, jnp.min(cand, axis=1))
+        lab = jnp.minimum(lab, jnp.min(cand, axis=1))
+        # pointer-jumping hop (lab <- lab[lab]): collinear chains collapse
+        # to their root in O(log M) passes instead of one hop per pass —
+        # without it a chain longer than ``iters`` fragments leaves two+
+        # overlapping merged segments that both survive top-k and can
+        # double-match downstream
+        return jnp.minimum(lab, lab[jnp.clip(lab, 0, M - 1)])
 
     lab = lax.fori_loop(0, iters, prop, lab0)
 

@@ -43,6 +43,10 @@ class ChunkOutput(NamedTuple):
     good: jnp.ndarray        # (B,)
     last_pts: PointObservations             # final frame's features (carry out)
     last_lns: Optional[LineObservations]
+    DT_next: jnp.ndarray = None  # (4, 4) next chunk's constant-velocity
+                                 # prior (last good step), computed in-
+                                 # program so the driver needs no extra
+                                 # per-chunk dispatch
     all_pts: Optional[PointObservations] = None   # (B, ...) per-frame feats
     all_lns: Optional[LineObservations] = None    # (keep_feats mode, device-
                                                   #  resident; the SLAM driver
@@ -107,7 +111,7 @@ def vo_chunk(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
         return (pts_i, lns_i, T_next), (res.T, res.cov, res.n_inliers,
                                         res.err, res.good)
 
-    (last_p, last_l, _), (DT, cov, ninl, err, good) = lax.scan(
+    (last_p, last_l, T_last), (DT, cov, ninl, err, good) = lax.scan(
         body, (prev_pts, prev_lns, T_prior0), (pts, lns))
     all_pts = all_lns = None
     if keep_feats:
@@ -117,7 +121,7 @@ def vo_chunk(imgs_l: jnp.ndarray, imgs_r: jnp.ndarray,
         # of the feature bytes. The SLAM driver unpacks at KF-slice time.
         all_pts, all_lns = _pack_feats(pts, lns)
     return ChunkOutput(DT, cov, ninl, err, good, last_p, last_l,
-                       all_pts=all_pts, all_lns=all_lns)
+                       DT_next=T_last, all_pts=all_pts, all_lns=all_lns)
 
 
 def _pack_feats(pts, lns):
@@ -162,8 +166,22 @@ def _chunk_tracking_batched(pts, lns, prev_pts, prev_lns, T_prior0, cam,
     T_pri = jnp.broadcast_to(T_prior0, (B, 4, 4))
     res = solve(*args, T_pri)
     for _ in range(max(cfg.tracking.chunk_passes - 1, 0)):
-        T_pri = jnp.where(res.good[:, None, None], res.T, T_pri)
-        res = solve(*args, T_pri)
+        # re-solve around each pair's own estimate; pairs whose solve
+        # failed so far retry from their left neighbor's estimate
+        # (consecutive pairs have near-identical motion), falling back
+        # to the chunk prior
+        nb_T = jnp.concatenate([T_pri[:1], res.T[:-1]], axis=0)
+        nb_good = jnp.concatenate([jnp.zeros((1,), bool), res.good[:-1]])
+        T_pri = jnp.where(res.good[:, None, None], res.T,
+                          jnp.where(nb_good[:, None, None], nb_T, T_pri))
+        res_new = solve(*args, T_pri)
+        # keep the best result per pair: a pair that solved in an earlier
+        # pass must not lose its estimate to a later failed re-solve
+        keep_new = res_new.good | ~res.good
+        res = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                keep_new.reshape((B,) + (1,) * (a.ndim - 1)), a, b),
+            res_new, res)
 
     last_p = jax.tree_util.tree_map(lambda x: x[-1], pts)
     last_l = (jax.tree_util.tree_map(lambda x: x[-1], lns)
@@ -171,8 +189,10 @@ def _chunk_tracking_batched(pts, lns, prev_pts, prev_lns, T_prior0, cam,
     all_pts = all_lns = None
     if keep_feats:
         all_pts, all_lns = _pack_feats(pts, lns)
+    DT_next = jnp.where(res.good[-1], res.T[-1], T_pri[-1])
     return ChunkOutput(res.T, res.cov, res.n_inliers, res.err, res.good,
-                       last_p, last_l, all_pts=all_pts, all_lns=all_lns)
+                       last_p, last_l, DT_next=DT_next,
+                       all_pts=all_pts, all_lns=all_lns)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -229,9 +249,9 @@ class BatchedStereoVO:
                        jnp.asarray(self.DT_prev), self.cam, self.cfg,
                        keep_feats=keep_feats)
         self.prev_pts, self.prev_lns = out.last_pts, out.last_lns
-        # device-side prior for the next chunk (no host sync)
-        self.DT_prev = jnp.where(out.good[-1], out.DT[-1],
-                                 jnp.asarray(self.DT_prev))
+        # device-side prior for the next chunk, computed in-program
+        # (no host sync, no extra dispatch)
+        self.DT_prev = out.DT_next
         self._pending.append(out)
         return out
 

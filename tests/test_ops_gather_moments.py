@@ -33,6 +33,17 @@ def test_take_mxu_int32_exact():
     np.testing.assert_array_equal(out, v[idx])
 
 
+def test_take_mxu_int32_exact_large_magnitude():
+    """Values at/above 2^24 (and negatives) must round-trip exactly via
+    the 16-bit lane split — a plain f32 path would silently round them."""
+    rng = np.random.default_rng(5)
+    v = rng.integers(-2**31, 2**31 - 1, 4096, dtype=np.int64).astype(np.int32)
+    v[:4] = [2**24 + 1, -(2**24 + 3), 2**31 - 1, -2**31]
+    idx = rng.integers(0, 4096, 600).astype(np.int32)
+    out = np.asarray(take_mxu(jnp.asarray(v), jnp.asarray(idx)))
+    np.testing.assert_array_equal(out, v[idx])
+
+
 def test_take_mxu_clamps_out_of_range():
     v = jnp.arange(10.0)
     idx = jnp.asarray([-3, 0, 9, 15], jnp.int32)
