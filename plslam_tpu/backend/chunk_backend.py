@@ -67,8 +67,12 @@ def make_chunk_backend(cam, cfg, kmax: int, voc_p=None, voc_l=None):
         return out._replace(desc=hamming.unpack_bits(out.desc))
 
     @jax.jit
-    def step(state, bows_p, bows_l, all_pts, all_lns, frame_idx, T_rels,
-             kf_valid):
+    def step(state, bows_p, bows_l, all_pts, all_lns, meta):
+        # meta (kmax, 18): [frame_idx, valid, T_rel.flat(16)] — one packed
+        # host->device transfer instead of three (each is an RPC)
+        frame_idx = meta[:, 0].astype(jnp.int32)
+        kf_valid = meta[:, 1] > 0.5
+        T_rels = meta[:, 2:].reshape(kmax, 4, 4)
         outs = []
         for j in range(kmax):
             pts_j = slice_frame(all_pts, frame_idx[j])

@@ -42,6 +42,8 @@ class MapState(NamedTuple):
     pt_nobs: jnp.ndarray        # (P,) int32
     pt_last_kf: jnp.ndarray     # (P,) int32
     pt_first_kf: jnp.ndarray    # (P,) int32
+    pt_desc_ring: jnp.ndarray   # (P, R, 8) uint32 — last R packed obs
+    pt_dir: jnp.ndarray         # (P, 3) mean viewing direction (unit)
     # map lines (3D endpoint pairs)
     ln_spos: jnp.ndarray        # (M, 3)
     ln_epos: jnp.ndarray        # (M, 3)
@@ -50,6 +52,8 @@ class MapState(NamedTuple):
     ln_nobs: jnp.ndarray
     ln_last_kf: jnp.ndarray
     ln_first_kf: jnp.ndarray
+    ln_desc_ring: jnp.ndarray   # (M, R, 8) uint32
+    ln_dir: jnp.ndarray         # (M, 3)
     # per-KF observations (the sparse obs graph, dense-slotted)
     obs_pt_uv: jnp.ndarray      # (F, K, 2)
     obs_pt_disp: jnp.ndarray    # (F, K)
@@ -77,6 +81,8 @@ def init_map_state(cfg: SlamConfig) -> MapState:
         pt_nobs=jnp.zeros((P,), i32),
         pt_last_kf=jnp.full((P,), -1, i32),
         pt_first_kf=jnp.full((P,), -1, i32),
+        pt_desc_ring=jnp.zeros((P, m.desc_ring, 8), jnp.uint32),
+        pt_dir=jnp.zeros((P, 3), f32),
         ln_spos=jnp.zeros((M, 3), f32),
         ln_epos=jnp.zeros((M, 3), f32),
         ln_desc=jnp.zeros((M, 256), jnp.uint8),
@@ -84,6 +90,8 @@ def init_map_state(cfg: SlamConfig) -> MapState:
         ln_nobs=jnp.zeros((M,), i32),
         ln_last_kf=jnp.full((M,), -1, i32),
         ln_first_kf=jnp.full((M,), -1, i32),
+        ln_desc_ring=jnp.zeros((M, m.desc_ring, 8), jnp.uint32),
+        ln_dir=jnp.zeros((M, 3), f32),
         obs_pt_uv=jnp.zeros((F, K, 2), f32),
         obs_pt_disp=jnp.zeros((F, K), f32),
         obs_pt_lm=jnp.full((F, K), -1, i32),
@@ -93,6 +101,30 @@ def init_map_state(cfg: SlamConfig) -> MapState:
         kf_pt_desc=jnp.zeros((F, K, 8), jnp.uint32),
         kf_ln_desc=jnp.zeros((F, L, 8), jnp.uint32),
     )
+
+
+def _medoid_desc(ring: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarray:
+    """Representative descriptor per landmark: the ring member with the
+    minimum summed Hamming distance to the other stored observations
+    (the 'median descriptor' of mapFeatures.cpp::updateAverageDescDir).
+
+    ring (N, R, 8) uint32 packed, count (N,) valid entries. -> (N, 8).
+    """
+    R = ring.shape[1]
+    x = ring[:, :, None, :] ^ ring[:, None, :, :]
+    d = jnp.sum(jax.lax.population_count(x), axis=-1)          # (N, R, R)
+    valid = jnp.arange(R)[None, :] < jnp.minimum(count, R)[:, None]
+    mask = valid[:, :, None] & valid[:, None, :]
+    dsum = jnp.sum(jnp.where(mask, d, 0), axis=1)              # (N, R)
+    dsum = jnp.where(valid, dsum, jnp.int32(2 ** 30))
+    mi = jnp.argmin(dsum, axis=1)
+    return jnp.take_along_axis(ring, mi[:, None, None], axis=1)[:, 0]
+
+
+def _view_dirs(pos: jnp.ndarray, cam_center: jnp.ndarray) -> jnp.ndarray:
+    """Unit viewing directions camera-center -> landmark, (N, 3)."""
+    v = pos - cam_center[None, :]
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
 
 
 def _allocate_slots(free: jnp.ndarray, want: jnp.ndarray) -> jnp.ndarray:
@@ -126,11 +158,20 @@ def add_keyframe(state: MapState, pts: PointObservations,
     slot = state.n_kfs
     T_cw = lie.inverse_se3(T_w_kf)
 
+    cam_center = T_w_kf[:3, 3]
+
     # ---- match existing map points into this KF ------------------------
     uv_pred = cam.project(lie.transform_points(T_cw, state.pt_pos))
     z_pred = lie.transform_points(T_cw, state.pt_pos)[..., 2]
     recent = state.pt_last_kf >= slot - mcfg.window_kfs - mcfg.fixed_kfs
-    proj_ok = (state.pt_valid & recent & (z_pred > 0.5)
+    # view-angle gate (updateAverageDescDir parity): a landmark only
+    # matches from viewpoints within ~60 deg of its mean viewing
+    # direction — descriptors are not viewpoint-invariant beyond that
+    vdir_pt = _view_dirs(state.pt_pos, cam_center)
+    dir_ok = ((state.pt_nobs < 1)    # direction set at first observation
+              | (jnp.sum(state.pt_dir * vdir_pt, axis=-1)
+                 > mcfg.view_cos_th))
+    proj_ok = (state.pt_valid & recent & dir_ok & (z_pred > 0.5)
                & cam.in_image(uv_pred, margin=-20.0))
     dist = hamming.hamming_matrix(state.pt_desc, pts.desc, proj_ok, pts.valid,
                                   bf16=cfg.system.bf16_matching)
@@ -153,21 +194,38 @@ def add_keyframe(state: MapState, pts: PointObservations,
     P_world = lie.transform_points(T_w_kf, pts.P)
     feat_lm = jnp.where(new_slot >= 0, new_slot, feat_lm)
 
+    P_slots = state.pt_pos.shape[0]
+    pts_packed = hamming.pack_bits(pts.desc)                   # (K, 8)
     ok_new = new_slot >= 0
-    sidx = jnp.where(ok_new, new_slot, state.pt_pos.shape[0])  # drop OOB
+    sidx = jnp.where(ok_new, new_slot, P_slots)  # drop OOB
     pt_pos = state.pt_pos.at[sidx].set(P_world, mode="drop")
-    pt_desc = state.pt_desc.at[sidx].set(pts.desc, mode="drop")
     pt_valid = state.pt_valid.at[sidx].set(True, mode="drop")
     pt_nobs = state.pt_nobs.at[sidx].set(1, mode="drop")
     pt_first = state.pt_first_kf.at[sidx].set(slot, mode="drop")
     pt_last = state.pt_last_kf.at[sidx].set(slot, mode="drop")
+    # new landmarks: descriptor ring starts at 0, direction = view dir
+    vnew = _view_dirs(P_world, cam_center)
+    pt_ring = state.pt_desc_ring.at[sidx, 0].set(pts_packed, mode="drop")
+    pt_dir = state.pt_dir.at[sidx].set(vnew, mode="drop")
 
-    # refresh matched landmarks: nobs, last_kf, representative descriptor
-    midx = jnp.where(pt_matched, jnp.arange(state.pt_pos.shape[0]),
-                     state.pt_pos.shape[0])
+    # refresh matched landmarks: nobs, last_kf, descriptor ring (medoid
+    # recomputed below), running mean viewing direction
+    midx = jnp.where(pt_matched, jnp.arange(P_slots), P_slots)
+    rpos = jnp.mod(state.pt_nobs, state.pt_desc_ring.shape[1])
+    pt_ring = pt_ring.at[midx, rpos].set(pts_packed[feat_of_pt],
+                                         mode="drop")
+    dir_upd = (state.pt_dir * state.pt_nobs[:, None].astype(jnp.float32)
+               + vdir_pt)
+    dir_upd = dir_upd / jnp.maximum(
+        jnp.linalg.norm(dir_upd, axis=-1, keepdims=True), 1e-9)
+    pt_dir = jnp.where(pt_matched[:, None], dir_upd, pt_dir)
     pt_nobs = pt_nobs.at[midx].add(1, mode="drop")
     pt_last = pt_last.at[midx].set(slot, mode="drop")
-    pt_desc = pt_desc.at[midx].set(pts.desc[feat_of_pt], mode="drop")
+    # representative descriptor = ring medoid (median-descriptor parity);
+    # recomputed for every active landmark — (P, R, R) popcounts, cheap
+    pt_desc = jnp.where(pt_valid[:, None],
+                        hamming.unpack_bits(_medoid_desc(pt_ring, pt_nobs)),
+                        state.pt_desc)
 
     # ---- lines ---------------------------------------------------------
     if lns is not None:
@@ -176,7 +234,12 @@ def add_keyframe(state: MapState, pts: PointObservations,
         zmid = lie.transform_points(
             T_cw, 0.5 * (state.ln_spos + state.ln_epos))[..., 2]
         lrecent = state.ln_last_kf >= slot - mcfg.window_kfs - mcfg.fixed_kfs
-        lproj_ok = (state.ln_valid & lrecent & (zmid > 0.5)
+        vdir_ln = _view_dirs(0.5 * (state.ln_spos + state.ln_epos),
+                             cam_center)
+        ldir_ok = ((state.ln_nobs < 1)
+                   | (jnp.sum(state.ln_dir * vdir_ln, axis=-1)
+                      > mcfg.view_cos_th))
+        lproj_ok = (state.ln_valid & lrecent & ldir_ok & (zmid > 0.5)
                     & cam.in_image(mid_pred, margin=-40.0))
         ldist = hamming.hamming_matrix(state.ln_desc, lns.desc, lproj_ok,
                                        lns.valid, bf16=cfg.system.bf16_matching)
@@ -196,19 +259,33 @@ def add_keyframe(state: MapState, pts: PointObservations,
         lfeat_lm = jnp.where(lnew_slot >= 0, lnew_slot, lfeat_lm)
         sP_w = lie.transform_points(T_w_kf, lns.sP)
         eP_w = lie.transform_points(T_w_kf, lns.eP)
-        lsidx = jnp.where(lnew_slot >= 0, lnew_slot, state.ln_spos.shape[0])
+        M_slots = state.ln_spos.shape[0]
+        lns_packed = hamming.pack_bits(lns.desc)
+        lsidx = jnp.where(lnew_slot >= 0, lnew_slot, M_slots)
         ln_spos = state.ln_spos.at[lsidx].set(sP_w, mode="drop")
         ln_epos = state.ln_epos.at[lsidx].set(eP_w, mode="drop")
-        ln_desc = state.ln_desc.at[lsidx].set(lns.desc, mode="drop")
         ln_valid = state.ln_valid.at[lsidx].set(True, mode="drop")
         ln_nobs = state.ln_nobs.at[lsidx].set(1, mode="drop")
         ln_first = state.ln_first_kf.at[lsidx].set(slot, mode="drop")
         ln_last = state.ln_last_kf.at[lsidx].set(slot, mode="drop")
-        lmidx = jnp.where(ln_matched, jnp.arange(state.ln_spos.shape[0]),
-                          state.ln_spos.shape[0])
+        lvnew = _view_dirs(0.5 * (sP_w + eP_w), cam_center)
+        ln_ring = state.ln_desc_ring.at[lsidx, 0].set(lns_packed, mode="drop")
+        ln_dir = state.ln_dir.at[lsidx].set(lvnew, mode="drop")
+        lmidx = jnp.where(ln_matched, jnp.arange(M_slots), M_slots)
+        lrpos = jnp.mod(state.ln_nobs, state.ln_desc_ring.shape[1])
+        ln_ring = ln_ring.at[lmidx, lrpos].set(lns_packed[feat_of_ln],
+                                               mode="drop")
+        ldir_upd = (state.ln_dir * state.ln_nobs[:, None].astype(jnp.float32)
+                    + vdir_ln)
+        ldir_upd = ldir_upd / jnp.maximum(
+            jnp.linalg.norm(ldir_upd, axis=-1, keepdims=True), 1e-9)
+        ln_dir = jnp.where(ln_matched[:, None], ldir_upd, ln_dir)
         ln_nobs = ln_nobs.at[lmidx].add(1, mode="drop")
         ln_last = ln_last.at[lmidx].set(slot, mode="drop")
-        ln_desc = ln_desc.at[lmidx].set(lns.desc[feat_of_ln], mode="drop")
+        ln_desc = jnp.where(
+            ln_valid[:, None],
+            hamming.unpack_bits(_medoid_desc(ln_ring, ln_nobs)),
+            state.ln_desc)
         obs_ln_le = state.obs_ln_le.at[slot].set(lns.le)
         obs_ln_lm = state.obs_ln_lm.at[slot].set(
             jnp.where(lns.valid, lfeat_lm, -1))
@@ -219,13 +296,14 @@ def add_keyframe(state: MapState, pts: PointObservations,
                              jnp.where(lns.valid, lns.sdisp, 0.0)[:, None],
                              jnp.where(lns.valid, lns.edisp, 0.0)[:, None]],
                             axis=-1))
-        kf_ln_desc = state.kf_ln_desc.at[slot].set(hamming.pack_bits(lns.desc))
+        kf_ln_desc = state.kf_ln_desc.at[slot].set(lns_packed)
         n_ln_matched = jnp.sum(ln_matched)
     else:
         ln_spos, ln_epos = state.ln_spos, state.ln_epos
         ln_desc, ln_valid = state.ln_desc, state.ln_valid
         ln_nobs, ln_last, ln_first = (state.ln_nobs, state.ln_last_kf,
                                       state.ln_first_kf)
+        ln_ring, ln_dir = state.ln_desc_ring, state.ln_dir
         obs_ln_le, obs_ln_lm = state.obs_ln_le, state.obs_ln_lm
         obs_ln_ends, kf_ln_desc = state.obs_ln_ends, state.kf_ln_desc
         n_ln_matched = jnp.asarray(0)
@@ -237,15 +315,17 @@ def add_keyframe(state: MapState, pts: PointObservations,
         n_kfs=state.n_kfs + 1,
         pt_pos=pt_pos, pt_desc=pt_desc, pt_valid=pt_valid, pt_nobs=pt_nobs,
         pt_last_kf=pt_last, pt_first_kf=pt_first,
+        pt_desc_ring=pt_ring, pt_dir=pt_dir,
         ln_spos=ln_spos, ln_epos=ln_epos, ln_desc=ln_desc, ln_valid=ln_valid,
         ln_nobs=ln_nobs, ln_last_kf=ln_last, ln_first_kf=ln_first,
+        ln_desc_ring=ln_ring, ln_dir=ln_dir,
         obs_pt_uv=state.obs_pt_uv.at[slot].set(pts.uv),
         obs_pt_disp=state.obs_pt_disp.at[slot].set(
             jnp.where(pts.valid, pts.disp, 0.0)),
         obs_pt_lm=state.obs_pt_lm.at[slot].set(
             jnp.where(pts.valid, feat_lm, -1)),
         obs_ln_le=obs_ln_le, obs_ln_lm=obs_ln_lm, obs_ln_ends=obs_ln_ends,
-        kf_pt_desc=state.kf_pt_desc.at[slot].set(hamming.pack_bits(pts.desc)),
+        kf_pt_desc=state.kf_pt_desc.at[slot].set(pts_packed),
         kf_ln_desc=kf_ln_desc,
     )
     diag = {"n_map_matches": jnp.sum(pt_matched & pts.valid[feat_of_pt]),

@@ -255,21 +255,69 @@ class MapHandler:
         self._process_batch(*job[1:])
 
     def _work_loop(self):
+        """Pipelined worker: a batch job's device program is dispatched
+        immediately, but its probe HANDLING (the blocking fetch + loop
+        host logic) is deferred while more jobs are queued — so batch
+        k's fetch overlaps batch k+1's (and the tracker's) device
+        execution instead of serializing behind it. Probe handling stays
+        strictly ordered; a closure therefore applies at most one job
+        later than in the unpipelined flow (same class of delay as the
+        reference's mapping-thread pickup)."""
+        pending = []          # deferred probe entries, ordered
         while True:
-            job = self._queue.get()
+            if pending:
+                try:
+                    job = self._queue.get_nowait()
+                except queue.Empty:
+                    self._handle_probe_entry(pending.pop(0))
+                    continue
+            else:
+                job = self._queue.get()
             if job is None:
+                while pending:
+                    self._handle_probe_entry(pending.pop(0))
                 self._queue.task_done()
                 return
             try:
                 if job[0] == "kf":
+                    while pending:   # keep strict KF order
+                        self._handle_probe_entry(pending.pop(0))
                     summary = self._process(*job[1:5])
                     if job[5] is not None:
                         job[5](summary)
+                    self._queue.task_done()
                 else:
-                    self._process_batch(*job[1:])
+                    # adaptive: while closures are firing, revert to the
+                    # strict interleave (corrections must land before the
+                    # next insertions); otherwise pipeline the fetches
+                    lc = job[5]
+                    eager = (lc is not None
+                             and getattr(lc, "closure_imminent", False))
+                    if eager:
+                        while pending:
+                            self._handle_probe_entry(pending.pop(0))
+                        self._dispatch_batch(
+                            *job[1:], handler=self._handle_probe_entry,
+                            granularity=2)
+                        self._queue.task_done()
+                    else:
+                        pending.extend(self._dispatch_batch(*job[1:]))
+                        while len(pending) > 1:   # bound pipeline depth
+                            self._handle_probe_entry(pending.pop(0))
             except Exception as e:  # surfaced via summaries
                 print(f"[map_handler] worker error: {e!r}")
-            finally:
+                self._queue.task_done()
+
+    def _handle_probe_entry(self, entry):
+        slots, scores, covis, poses, loop_closer, last_of_job = entry
+        try:
+            if loop_closer is not None:
+                loop_closer.on_probe_batch(self, slots, scores, covis,
+                                           poses)
+        except Exception as e:
+            print(f"[map_handler] probe error: {e!r}")
+        finally:
+            if last_of_job:
                 self._queue.task_done()
 
     def _process(self, pts, lns, T_w_kf, run_lba_flag):
@@ -303,20 +351,31 @@ class MapHandler:
             self._fused_probe_on = probe_on
         return self._fused
 
-    def _process_batch(self, all_pts, all_lns, frame_idx, T_list,
-                       loop_closer):
+    def _dispatch_batch(self, all_pts, all_lns, frame_idx, T_list,
+                        loop_closer, handler=None, granularity=None):
+        """Dispatch the fused program(s) for one batch job. With
+        ``handler``, each sub-batch's probe entry is handled inline
+        BEFORE the next sub-batch dispatches (a fired loop correction
+        lands before later KFs anchor their windows to stale poses);
+        without it, entries are returned for deferred (pipelined)
+        handling. ``granularity`` < kf_batch splits into smaller (padded)
+        sub-batches — used in closure-imminent mode, where correction
+        ordering matters more than fetch economy."""
         kmax = self.cfg.system.kf_batch
+        g = min(granularity or kmax, kmax)
         fused = self._get_fused(loop_closer)
         dummy = jnp.zeros((1, 1), jnp.float32)
-        for off in range(0, len(frame_idx), kmax):
-            sub_i = frame_idx[off:off + kmax]
-            sub_T = T_list[off:off + kmax]
+        entries = []
+        for off in range(0, len(frame_idx), g):
+            sub_i = frame_idx[off:off + g]
+            sub_T = T_list[off:off + g]
             n = len(sub_i)
-            pad = kmax - n
-            idx_arr = jnp.asarray(sub_i + [0] * pad, jnp.int32)
-            T_arr = jnp.asarray(
-                np.stack(sub_T + [np.eye(4, dtype=np.float32)] * pad))
-            valid = jnp.asarray([True] * n + [False] * pad)
+            meta = np.zeros((kmax, 18), np.float32)
+            meta[:n, 0] = sub_i
+            meta[:n, 1] = 1.0
+            meta[:, 2:] = np.eye(4, dtype=np.float32).reshape(-1)
+            meta[:n, 2:] = np.stack(sub_T).reshape(n, 16)
+            meta = jnp.asarray(meta)     # one packed transfer
             with self._lock:
                 if loop_closer is not None:
                     bows_p, bows_l = loop_closer.db.bows_p, loop_closer.db.bows_l
@@ -325,8 +384,7 @@ class MapHandler:
                 else:
                     bows_p = bows_l = dummy
                 (state, bp, bl, scores, covis, poses, stats) = fused(
-                    self.state, bows_p, bows_l, all_pts, all_lns,
-                    idx_arr, T_arr, valid)
+                    self.state, bows_p, bows_l, all_pts, all_lns, meta)
                 self.state = state
                 if loop_closer is not None:
                     loop_closer.db.bows_p = bp
@@ -335,13 +393,27 @@ class MapHandler:
                 slots = tuple(range(self._next_slot, self._next_slot + n))
                 self._next_slot += n
                 self._records.append(PendingBatch(slots, (poses, stats)))
-            if loop_closer is not None:
-                # handle this sub-batch's probes BEFORE inserting the
-                # next one (outside the lock: on_probe_batch re-acquires
-                # it), so a fired loop correction lands before later KFs
-                # anchor their windows to stale poses
-                loop_closer.on_probe_batch(self, slots, scores, covis,
-                                           poses)
+            entry = [slots, scores, covis, poses, loop_closer, False]
+            if handler is not None:
+                handler(entry)
+            else:
+                entries.append(entry)
+        if entries:
+            entries[-1][-1] = True      # task_done after the last entry
+        return entries
+
+    def _process_batch(self, all_pts, all_lns, frame_idx, T_list,
+                       loop_closer):
+        """Sync-mode batch processing: each sub-batch's probes handled
+        inline, interleaved with the dispatches (fine granularity when
+        loops are on, so corrections land between insertions)."""
+        def handle(entry):
+            slots, scores, covis, poses, lc, _ = entry
+            if lc is not None:
+                lc.on_probe_batch(self, slots, scores, covis, poses)
+        self._dispatch_batch(all_pts, all_lns, frame_idx, T_list,
+                             loop_closer, handler=handle,
+                             granularity=2 if loop_closer else None)
 
     @property
     def summaries(self):
@@ -358,6 +430,14 @@ class MapHandler:
             return out
 
     # -- queries -------------------------------------------------------------
+    def backlog(self) -> int:
+        """Jobs queued-or-running on the mapping worker (0 in sync mode).
+        The chunked driver uses this for backpressure: if the tracker
+        keeps enqueueing chunks while the worker lags, the worker's
+        programs land ever later in the device stream, its fetches wait
+        ever longer, and the whole backlog drains serially in finish()."""
+        return self._queue.unfinished_tasks if self._async else 0
+
     def wait_idle(self):
         """Block until every queued KF job (and its on_done hook) has
         finished (finishSLAM parity). queue.join() — not empty()-polling,

@@ -151,6 +151,9 @@ class ChunkedPLSLAM:
         settled so far. Pipelined: the chunk is only SUBMITTED here; the
         host-side work (fetch, KF decisions, mapping hand-off) happens
         for the previous chunk while this one executes on device."""
+        import time
+        while self.map.backlog() > 1:   # pace the tracker to the worker
+            time.sleep(0.002)
         self.vo.submit_chunk(imgs_l, imgs_r, keep_feats=True)
         self._inflight.append(n_valid)
         if len(self._inflight) >= 2:
@@ -163,7 +166,7 @@ class ChunkedPLSLAM:
         n_valid = self._inflight.pop(0)
         base = len(self.vo.trajectory)
         DT, cov, good = jax.device_get((out.DT, out.cov, out.good))
-        self.vo._integrate(out, update_prior=False)
+        self.vo._integrate(out, update_prior=False, fetched=(DT, good))
         B = DT.shape[0] if n_valid is None else n_valid
         kf_frames, kf_rels = [], []
         for i in range(B):

@@ -176,6 +176,12 @@ class MappingConfig:
     lba_inlier_k: float = 2.0
     lba_min_sigma: float = 0.5      # px floor for the outlier gate scale
     min_lm_obs: int = 3             # cull landmarks with fewer obs (ref: min_lm_obs)
+    # representative-descriptor + view-direction maintenance (reference:
+    # mapFeatures.cpp :: updateAverageDescDir — keep the medoid of the
+    # observed descriptors and a mean viewing direction, and gate map->KF
+    # matching by viewing angle)
+    desc_ring: int = 4              # per-landmark descriptor history size
+    view_cos_th: float = 0.5        # min cos(view angle) for map matching
     max_common_fts_kf: float = 0.9  # redundant-KF cull threshold
     lambda_init: float = 1e-3       # LM damping init for LBA
     lambda_factor: float = 3.0
@@ -227,17 +233,17 @@ class CameraConfig:
 class SystemConfig:
     """Runtime knobs that replace the reference threading flags."""
     async_mapping: bool = True      # ref: mapHandler multithread flag
-    kf_batch: int = 2               # fused chunk-backend capacity: up to
+    kf_batch: int = 4               # fused chunk-backend capacity: up to
                                     # this many KFs per device dispatch
                                     # (backend.chunk_backend); a chunk
                                     # with more KFs dispatches again.
-                                    # 2 balances dispatch economy against
-                                    # loop-correction pickup latency (KFs
-                                    # of one dispatch insert before the
-                                    # batch's closures apply; measured on
-                                    # the every-frame-KF loop stress:
+                                    # While the loop closer reports
+                                    # closure_imminent, dispatches drop
+                                    # to granularity 2 so corrections
+                                    # land between insertions (measured
+                                    # on the every-frame-KF loop stress:
                                     # ATE 0.15/0.19/0.24/0.34 m at
-                                    # kf_batch 1/2/3/4)
+                                    # granularity 1/2/3/4)
     dtype: str = "float32"
     bf16_matching: bool = True      # descriptor matmuls in bfloat16 on the MXU
     profile: bool = False

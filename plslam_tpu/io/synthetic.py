@@ -26,6 +26,34 @@ from plslam_tpu.core import lie
 import jax.numpy as jnp
 
 
+class Degradation(NamedTuple):
+    """Realistic-imagery degradation model (VERDICT round-1 item: the
+    clean renderer over-states front-end robustness — EuRoC/KITTI-grade
+    imagery has texture clutter, sensor noise, motion blur, vignetting
+    and exposure steps; stvo-pl's adaptive FAST + LSD must survive them).
+
+    All strengths are 0 = off. ``preset`` builds the standard levels the
+    regression tests use.
+    """
+    texture: float = 0.0        # multi-octave backdrop texture amplitude
+    noise: float = 0.005        # per-pixel Gaussian sigma (sensor noise)
+    motion_blur: float = 0.0    # blur length in px along apparent motion
+    vignette: float = 0.0       # radial gain falloff at the corners
+    exposure_jitter: float = 0.0  # per-frame multiplicative gain sigma
+
+    @staticmethod
+    def preset(level: str) -> "Degradation":
+        return {
+            "clean": Degradation(),
+            "moderate": Degradation(texture=0.10, noise=0.015,
+                                    motion_blur=1.5, vignette=0.25,
+                                    exposure_jitter=0.05),
+            "heavy": Degradation(texture=0.18, noise=0.03,
+                                 motion_blur=3.0, vignette=0.4,
+                                 exposure_jitter=0.12),
+        }[level]
+
+
 class SyntheticWorld(NamedTuple):
     points: np.ndarray          # (P, 3) world-frame 3D points
     line_sp: np.ndarray         # (L, 3) segment start points
@@ -117,19 +145,32 @@ def _project_np(P_cam: np.ndarray, fx, fy, cx, cy) -> np.ndarray:
                      fy * P_cam[..., 1] / z + cy], axis=-1)
 
 
-def _background(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
-    """Smooth low-frequency backdrop in [0.25, 0.45]."""
-    small = rng.uniform(0, 1, (H // 16 + 2, W // 16 + 2)).astype(np.float32)
-    # bilinear upsample by 16
+def _upsample(small: np.ndarray, H: int, W: int) -> np.ndarray:
     ys = np.linspace(0, small.shape[0] - 1.001, H)
     xs = np.linspace(0, small.shape[1] - 1.001, W)
     y0 = ys.astype(int); x0 = xs.astype(int)
     fy = (ys - y0)[:, None]; fx = (xs - x0)[None, :]
-    up = (small[y0][:, x0] * (1 - fy) * (1 - fx)
-          + small[y0][:, x0 + 1] * (1 - fy) * fx
-          + small[y0 + 1][:, x0] * fy * (1 - fx)
-          + small[y0 + 1][:, x0 + 1] * fy * fx)
-    return 0.25 + 0.2 * up
+    return (small[y0][:, x0] * (1 - fy) * (1 - fx)
+            + small[y0][:, x0 + 1] * (1 - fy) * fx
+            + small[y0 + 1][:, x0] * fy * (1 - fx)
+            + small[y0 + 1][:, x0 + 1] * fy * fx)
+
+
+def _background(rng: np.random.Generator, H: int, W: int,
+                texture: float = 0.0) -> np.ndarray:
+    """Low-frequency backdrop in [0.25, 0.45]; ``texture`` adds
+    multi-octave value noise (16/8/4 px octaves) so detectors face
+    realistic clutter gradients instead of a flat field."""
+    small = rng.uniform(0, 1, (H // 16 + 2, W // 16 + 2)).astype(np.float32)
+    img = 0.25 + 0.2 * _upsample(small, H, W)
+    if texture > 0:
+        amp = texture
+        for cell in (16, 8, 4):
+            s = rng.uniform(-1, 1, (H // cell + 2, W // cell + 2)
+                            ).astype(np.float32)
+            img = img + amp * _upsample(s, H, W)
+            amp *= 0.55
+    return img.astype(np.float32)
 
 
 _PATCH = 10  # half-size of the texture patch stamped around each point
@@ -149,8 +190,29 @@ def _point_patches(seeds: np.ndarray) -> np.ndarray:
     return out
 
 
+def _motion_blur(img: np.ndarray, length: float, theta: float) -> np.ndarray:
+    """Directional box blur of ``length`` px along angle theta."""
+    n = int(np.ceil(length)) + 1
+    if n <= 1 or length <= 0.5:
+        return img
+    acc = np.zeros_like(img)
+    for s in np.linspace(-length / 2, length / 2, n):
+        ix = int(round(s * np.cos(theta)))
+        iy = int(round(s * np.sin(theta)))
+        acc += np.roll(img, (iy, ix), axis=(0, 1))
+    return acc / n
+
+
+def _vignette_gain(H: int, W: int, strength: float) -> np.ndarray:
+    ys = (np.arange(H) - H / 2) / (H / 2)
+    xs = (np.arange(W) - W / 2) / (W / 2)
+    r2 = (ys[:, None] ** 2 + xs[None, :] ** 2) / 2.0
+    return (1.0 - strength * r2).astype(np.float32)
+
+
 def render_frame(world: SyntheticWorld, T_wc: np.ndarray, cam,
-                 rng: np.random.Generator, noise: float = 0.01
+                 rng: np.random.Generator, noise: float = 0.01,
+                 degrade: Optional[Degradation] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Render a stereo pair for camera-to-world pose T_wc. Returns (imL, imR)."""
     H, W = cam.height, cam.width
@@ -158,11 +220,20 @@ def render_frame(world: SyntheticWorld, T_wc: np.ndarray, cam,
                          float(cam.cy), float(cam.b))
     T_cw = np.linalg.inv(T_wc)
     R, t = T_cw[:3, :3], T_cw[:3, 3]
+    d = degrade if degrade is not None else Degradation(noise=noise)
+
+    # per-frame camera effects shared by both eyes (a stereo rig has one
+    # shutter): blur direction, exposure gain
+    blur_theta = rng.uniform(-0.35, 0.35)
+    gain = 1.0 + (rng.normal(0, d.exposure_jitter)
+                  if d.exposure_jitter > 0 else 0.0)
+    vig = _vignette_gain(H, W, d.vignette) if d.vignette > 0 else None
 
     imgs = []
     for eye in range(2):
         off = np.array([0.0, 0.0, 0.0]) if eye == 0 else np.array([-b, 0.0, 0.0])
-        img = _background(np.random.default_rng(12345), H, W).copy()
+        img = _background(np.random.default_rng(12345), H, W,
+                          texture=d.texture).copy()
 
         # lines first (points stamp over them)
         sp_c = world.line_sp @ R.T + t
@@ -186,8 +257,14 @@ def render_frame(world: SyntheticWorld, T_wc: np.ndarray, cam,
                 continue
             img[vi - S:vi + S + 1, ui - S:ui + S + 1] = patches[i]
 
-        if noise > 0:
-            img = img + rng.normal(0, noise, img.shape).astype(np.float32)
+        if d.motion_blur > 0:
+            img = _motion_blur(img, d.motion_blur, blur_theta)
+        if vig is not None:
+            img = img * vig
+        if gain != 1.0:
+            img = img * gain
+        if d.noise > 0:
+            img = img + rng.normal(0, d.noise, img.shape).astype(np.float32)
         imgs.append(np.clip(img, 0, 1).astype(np.float32))
     return imgs[0], imgs[1]
 
@@ -221,7 +298,8 @@ def _draw_segment(img: np.ndarray, p0: np.ndarray, p1: np.ndarray,
 
 def make_sequence(cam, n_frames: int = 12, seed: int = 0, kind: str = "forward",
                   n_points: int = 300, n_lines: int = 60, noise: float = 0.005,
-                  step: float = 0.15, yaw_rate: float = 0.0) -> SyntheticSequence:
+                  step: float = 0.15, yaw_rate: float = 0.0,
+                  degrade: Optional[Degradation] = None) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
     world = make_world(rng, n_points=n_points, n_lines=n_lines,
                        layout="ring" if kind == "loop" else "frustum")
@@ -229,7 +307,8 @@ def make_sequence(cam, n_frames: int = 12, seed: int = 0, kind: str = "forward",
                             rng=rng)
     ims_l, ims_r = [], []
     for i in range(n_frames):
-        il, ir = render_frame(world, poses[i], cam, rng, noise=noise)
+        il, ir = render_frame(world, poses[i], cam, rng, noise=noise,
+                              degrade=degrade)
         ims_l.append(il)
         ims_r.append(ir)
     return SyntheticSequence(world, poses, np.stack(ims_l), np.stack(ims_r))

@@ -114,12 +114,20 @@ def apply_graph_correction(state, new_poses: jnp.ndarray):
                            precision=jax.lax.Precision.HIGHEST) + d[:, :3, 3]
         return jnp.where((first_kf >= 0)[:, None], moved, pos)
 
+    def rot(dirs, first_kf):
+        d = delta[jnp.maximum(first_kf, 0)][:, :3, :3]
+        moved = jnp.einsum("n a b, n b -> n a", d, dirs,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.where((first_kf >= 0)[:, None], moved, dirs)
+
     return state._replace(
         kf_pose=jnp.where(state.kf_valid[:, None, None], new_poses,
                           state.kf_pose),
         pt_pos=move(state.pt_pos, state.pt_first_kf),
+        pt_dir=rot(state.pt_dir, state.pt_first_kf),
         ln_spos=move(state.ln_spos, state.ln_first_kf),
-        ln_epos=move(state.ln_epos, state.ln_first_kf))
+        ln_epos=move(state.ln_epos, state.ln_first_kf),
+        ln_dir=rot(state.ln_dir, state.ln_first_kf))
 
 
 def probe_core(voc_p, voc_l, cfg: SlamConfig, has_lines: bool,
@@ -154,6 +162,20 @@ def _make_kf_probe(voc_p, voc_l, cfg: SlamConfig, has_lines: bool):
     return jax.jit(partial(probe_core, voc_p, voc_l, cfg, has_lines))
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _post_loop_update(state, new_poses, slot_a, slot_b,
+                      cam: StereoCamera, cfg: SlamConfig):
+    """Apply the pose-graph correction, fuse duplicate landmarks of the
+    loop pair, and re-converge the local window with one LBA pass — one
+    device program instead of three dispatches + interleaved fetches."""
+    from plslam_tpu.backend.map import fuse_loop_landmarks
+    from plslam_tpu.backend.map_handler import run_window_lba
+    state = apply_graph_correction(state, new_poses)
+    state, n_fused = fuse_loop_landmarks(state, slot_a, slot_b, cfg)
+    state, _, _, _ = run_window_lba(state, cam, cfg)
+    return state, n_fused
+
+
 class LoopEvent(NamedTuple):
     kf_from: int
     kf_to: int
@@ -182,8 +204,16 @@ class LoopCloser:
         self.events = []
         self.n_loops_closed = 0
         self.n_edges_dropped = 0     # covis edges lost to the E cap (telemetry)
+        self.probes_since_close = 10 ** 9   # MapHandler pipelining hint
         self._last_pose = None
         self._probe = None           # lazily-built fused per-KF program
+
+    @property
+    def closure_imminent(self) -> bool:
+        """True while candidate streaks are building or a closure just
+        fired — the mapping worker then reverts from pipelined to strict
+        probe ordering so corrections land before further insertions."""
+        return bool(self.voter._streaks) or self.probes_since_close < 8
 
     # -- main entry (called by PLSLAM on every new KF) -----------------------
     def on_keyframe(self, map_handler, slot: int) -> Optional[np.ndarray]:
@@ -239,6 +269,7 @@ class LoopCloser:
         """Returns the FULL corrected (F, 4, 4) pose array if this KF
         fired a verified loop closure, else None."""
         cfg = self.cfg
+        self.probes_since_close += 1
         # odometry edge from the previous KF
         if self._last_pose is not None:
             T_rel = np.linalg.inv(self._last_pose) @ pose
@@ -270,10 +301,10 @@ class LoopCloser:
         fired = self.voter.vote(candidates)
         if fired is None:
             return None
-        return self._close_loop(map_handler, fired, slot)
+        return self._close_loop(map_handler, fired, slot, kf_poses)
 
     # -- verification + optimization -----------------------------------------
-    def _close_loop(self, map_handler, slot_a: int, slot_b: int
+    def _close_loop(self, map_handler, slot_a: int, slot_b: int, kf_poses
                     ) -> Optional[np.ndarray]:
         cfg = self.cfg
         with map_handler._lock:
@@ -286,14 +317,18 @@ class LoopCloser:
                 state.kf_ln_desc[slot_b], state.obs_ln_ends[slot_b],
                 state.obs_ln_le[slot_b],
                 self.cam, cfg)
-            T_ab = np.asarray(res.T)      # maps a-frame points -> b frame
-            pose_a = np.asarray(state.kf_pose[slot_a])
-            pose_b = np.asarray(state.kf_pose[slot_b])
+            # ONE batched fetch for every gate input (separate np/int/
+            # float casts each cost a full tunnel round trip)
+            T_ab, n_inl, err, good = jax.device_get(
+                (res.T, res.n_inliers, res.err, res.good))
+        T_ab = np.asarray(T_ab)           # maps a-frame points -> b frame
+        pose_a = kf_poses[slot_a]
+        pose_b = kf_poses[slot_b]
 
         # gates (isLoopClosure parity)
-        n_inl = int(res.n_inliers)
-        err = float(res.err)
-        if not bool(res.good) or n_inl < cfg.loop.lc_inl or err > cfg.loop.lc_res:
+        n_inl = int(n_inl)
+        err = float(err)
+        if not bool(good) or n_inl < cfg.loop.lc_inl or err > cfg.loop.lc_res:
             return None
         # measured relative pose a->b in pose-graph convention:
         # T_meas = T_a^-1 T_b with T_ab = T_cam_b<-cam_a => T_meas = T_ab^-1
@@ -308,37 +343,60 @@ class LoopCloser:
             return None
 
         self.loop_edges.append((slot_a, slot_b, T_meas, 2.0))
-        corrected = self._optimize_graph(map_handler)
-        # fuse duplicate landmarks seen by both loop KFs, then re-converge
-        # the local window onto the corrected poses with one LBA pass (the
-        # reference gets this implicitly from the next KF's LBA; the fused
-        # batch path may insert several KFs before that happens)
+        new_full = self._optimize_graph(map_handler, kf_poses)
+        # apply the correction + fuse duplicate landmarks + re-converge
+        # the local window with one LBA pass, all as ONE device program
+        # (the reference gets the re-convergence implicitly from the next
+        # KF's LBA; the fused batch path may insert several KFs first)
         from plslam_tpu.backend.map import fuse_loop_landmarks
-        from plslam_tpu.backend.map_handler import run_window_lba
+        corrected = None
         with map_handler._lock:
-            state, n_fused = fuse_loop_landmarks(
-                map_handler.state, jnp.asarray(slot_a), jnp.asarray(slot_b),
-                cfg)
-            if corrected is not None:
-                state, _, _, _ = run_window_lba(state, self.cam, cfg)
-                corrected = np.asarray(state.kf_pose)
-                vi = np.nonzero(np.asarray(state.kf_valid))[0]
+            if new_full is not None:
+                state, _ = _post_loop_update(
+                    map_handler.state, jnp.asarray(new_full),
+                    jnp.asarray(slot_a), jnp.asarray(slot_b),
+                    self.cam, cfg)
+                corrected, kf_valid = jax.device_get(
+                    (state.kf_pose, state.kf_valid))
+                corrected = np.asarray(corrected)
+                vi = np.nonzero(np.asarray(kf_valid))[0]
                 self._last_pose = corrected[vi[-1]] if len(vi) else None
+            else:  # graph solve failed: still fuse duplicates
+                state, _ = fuse_loop_landmarks(
+                    map_handler.state, jnp.asarray(slot_a),
+                    jnp.asarray(slot_b), cfg)
             map_handler.state = state
         self.n_loops_closed += 1
+        self.probes_since_close = 0
         ev = LoopEvent(slot_a, slot_b, n_inl, err, t_mag, r_mag,
                        self._last_costs[0], self._last_costs[1])
         self.events.append(ev)
         return corrected
 
-    def _optimize_graph(self, map_handler) -> Optional[np.ndarray]:
+    def _optimize_graph(self, map_handler, kf_poses_host
+                        ) -> Optional[np.ndarray]:
+        """Optimize the pose graph and return the corrected FULL (F,4,4)
+        pose array (host), WITHOUT applying it to the map state (the
+        caller fuses the application with landmark fusion + window LBA).
+
+        The graph is cropped to the smallest power-of-two slot bucket
+        covering the used KFs: the dense (6F')^2 solve is the cost
+        center, and solving max_kfs=512 slots (3072^2 LU, ~300 ms/call
+        on chip) for a 30-KF session is two orders of magnitude of
+        waste. Buckets keep the jit signature count bounded.
+        """
         cfg = self.cfg
         F = cfg.mapping.max_kfs
-        E = 4 * F
+        n_used = map_handler._next_slot
+        Fb = 64
+        while Fb < min(n_used, F):
+            Fb *= 2
+        Fb = min(Fb, F)
+        E = 4 * Fb
         with map_handler._lock:
             state = map_handler.state
-            poses = state.kf_pose
-            pose_valid = state.kf_valid
+            poses = state.kf_pose[:Fb]
+            pose_valid = state.kf_valid[:Fb]
 
         # odometry + loop edges are load-bearing; covis edges last —
         # weakest (fewest shared landmarks) first to be truncated, and the
@@ -360,10 +418,12 @@ class LoopCloser:
         g = PoseGraph(poses=poses, pose_valid=pose_valid,
                       edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
                       edge_T=jnp.asarray(eT), edge_w=jnp.asarray(ew))
-        new_poses, c0, c1 = optimize_pose_graph(
+        new_d, c0, c1 = optimize_pose_graph(
             g, iters=cfg.loop.pose_graph_iters)
+        new_np, c0, c1, valid_np, old_np = jax.device_get(  # ONE round trip
+            (new_d, c0, c1, pose_valid, poses))
         self._last_costs = (float(c0), float(c1))
-        new_np = np.array(new_poses)    # writable host copy
+        new_np = np.array(new_np)       # writable host copy
         if not np.all(np.isfinite(new_np)):
             return None
         # KFs inserted after the probe snapshot have no graph edges yet
@@ -371,8 +431,6 @@ class LoopCloser:
         # rigidly attached by odometry, so propagate the last connected
         # KF's correction — otherwise the next odometry edge would mix
         # corrected and stale frames and the graph never re-converges
-        old_np = np.asarray(poses)
-        valid_np = np.asarray(pose_valid)
         n_edges = min(len(edges), E)
         if n_edges:
             last = int(max(ei[:n_edges].max(), ej[:n_edges].max()))
@@ -380,13 +438,7 @@ class LoopCloser:
             for s in range(last + 1, len(new_np)):
                 if valid_np[s]:
                     new_np[s] = delta @ old_np[s]
-            new_poses = jnp.asarray(new_np)
-        with map_handler._lock:
-            map_handler.state = apply_graph_correction(map_handler.state,
-                                                       new_poses)
-            out = np.asarray(map_handler.state.kf_pose)
-        # refresh cached odometry anchor (last VALID slot — redundant-KF
-        # removal leaves holes, so a count-based index would be wrong)
-        vi = np.nonzero(valid_np)[0]
-        self._last_pose = out[vi[-1]] if len(vi) else None
-        return out
+        # un-crop back to the full slot capacity
+        full = np.array(kf_poses_host, np.float32)
+        full[:Fb] = new_np
+        return full

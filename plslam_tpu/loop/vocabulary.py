@@ -157,42 +157,78 @@ _DEFAULT_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "data", "vocab_default.npz")
 
 
+_VOCAB_VERSION = 2   # v2: corpus-trained (see build_default_corpus)
+
+
 def default_vocabulary(kind: str = "orb", k: int = 8, levels: int = 4
                        ) -> Vocabulary:
-    """Load (or build + cache) the default vocabulary trained on synthetic
-    imagery — the stand-in for DBoW2's downloadable vocabulary files."""
-    path = _DEFAULT_PATH.replace(".npz", f"_{kind}_{k}_{levels}.npz")
+    """Load (or build + cache) the default vocabulary — the stand-in for
+    DBoW2's downloadable vocabulary files. The shipped v2 artifact is
+    trained offline on a large randomized textured synthetic corpus
+    (see ``build_default_corpus`` / tools/train_vocabulary.py), exactly
+    as DBoW2's vocabularies are trained offline on image corpora."""
+    path = _DEFAULT_PATH.replace(
+        ".npz", f"_{kind}_{k}_{levels}_v{_VOCAB_VERSION}.npz")
     if os.path.exists(path):
         return load_vocabulary(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    desc = _training_descriptors(kind)
+    desc = build_default_corpus(kind)
     voc = build_vocabulary(desc, k=k, levels=levels, seed=1)
     save_vocabulary(voc, path)
     return voc
 
 
-def _training_descriptors(kind: str, n_scenes: int = 6) -> np.ndarray:
-    """Descriptors from a batch of synthetic scenes (both feature kinds)."""
+def build_default_corpus(kind: str, n_scenes: Optional[int] = None,
+                         seed0: int = 1000) -> np.ndarray:
+    """Training descriptors from ``n_scenes`` randomized synthetic scenes
+    (varied densities, textured backdrops, sensor noise, 2 views each) —
+    tens of thousands of descriptors per family, so leaf occupancy and
+    IDF statistics are meaningful (the round-1 vocabulary trained on 6
+    clean scenes left most of the 4096 leaves empty)."""
     from plslam_tpu.config import SlamConfig
     from plslam_tpu.core.camera import StereoCamera
     from plslam_tpu.io import synthetic
+    from plslam_tpu.io.synthetic import Degradation
 
+    if n_scenes is None:
+        # lines are ~10x sparser per frame than keypoints: more scenes
+        # (and line-denser worlds) to reach healthy leaf occupancy
+        n_scenes = 120 if kind == "orb" else 400
     cfg = SlamConfig().with_updates({
         "camera": {"width": 640, "height": 384, "fx": 450.0, "fy": 450.0,
                    "cx": 320.0, "cy": 192.0, "baseline": 0.3},
-        "points": {"max_kpts": 512, "orb_nlevels": 2}})
+        "points": {"max_kpts": 512, "orb_nlevels": 3}})
     cam = StereoCamera.from_config(cfg.camera)
+    # jit the extractor ONCE (static cfg) — unjitted calls execute the
+    # graph op-by-op and the per-op executables exhaust compile memory
+    # over hundreds of scenes
+    import jax
+    if kind == "orb":
+        from plslam_tpu.frontend.stereo_points import detect_and_describe
+        extract = jax.jit(lambda im: detect_and_describe(im, cfg))
+    else:
+        from plslam_tpu.frontend.stereo_lines import detect_and_describe_lines
+        extract = jax.jit(lambda im: detect_and_describe_lines(im, cfg))
+    rng = np.random.default_rng(seed0)
     out = []
     for s in range(n_scenes):
-        seq = synthetic.make_sequence(cam, n_frames=1, seed=100 + s,
-                                      n_points=220, n_lines=50)
-        img = jnp.asarray(seq.images_l[0])
-        if kind == "orb":
-            from plslam_tpu.frontend.stereo_points import detect_and_describe
-            _, desc, _, _, _, valid = detect_and_describe(img, cfg)
-            out.append(np.asarray(desc)[np.asarray(valid)])
-        else:
-            from plslam_tpu.frontend.stereo_lines import detect_and_describe_lines
-            segs, desc = detect_and_describe_lines(img, cfg)
-            out.append(np.asarray(desc)[np.asarray(segs.valid)])
+        deg = Degradation(texture=float(rng.uniform(0.0, 0.15)),
+                          noise=float(rng.uniform(0.002, 0.02)),
+                          vignette=float(rng.uniform(0.0, 0.3)))
+        seq = synthetic.make_sequence(
+            cam, n_frames=2, seed=seed0 + s,
+            n_points=int(rng.integers(150, 380)),
+            n_lines=int(rng.integers(30, 90)) if kind == "orb"
+            else int(rng.integers(70, 128)),
+            step=float(rng.uniform(0.1, 0.5)),
+            kind="forward" if s % 2 == 0 else "arc",
+            degrade=deg)
+        for f in range(2):
+            img = jnp.asarray(seq.images_l[f])
+            if kind == "orb":
+                _, desc, _, _, _, valid = extract(img)
+                out.append(np.asarray(desc)[np.asarray(valid)])
+            else:
+                segs, desc = extract(img)
+                out.append(np.asarray(desc)[np.asarray(segs.valid)])
     return np.concatenate(out, axis=0)

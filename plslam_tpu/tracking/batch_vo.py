@@ -261,9 +261,13 @@ class BatchedStereoVO:
             self._integrate(out, update_prior=False)
         self._pending = []
 
-    def _integrate(self, out: ChunkOutput, update_prior: bool = True) -> None:
+    def _integrate(self, out: ChunkOutput, update_prior: bool = True,
+                   fetched=None) -> None:
+        """``fetched=(DT, good)`` skips the device fetch when the caller
+        already holds the host copies (each fetch is a tunnel round trip)."""
         self._pending = [p for p in self._pending if p is not out]
-        DT, good = jax.device_get((out.DT, out.good))  # one round-trip
+        DT, good = (fetched if fetched is not None
+                    else jax.device_get((out.DT, out.good)))
         DT_prev = self._last_step_host
         for i in range(DT.shape[0]):
             step = DT[i] if good[i] else DT_prev

@@ -121,3 +121,55 @@ def test_cull_detaches_observations():
     assert int(out.obs_pt_lm[0, 1]) == 6       # survivor untouched
     assert not bool(out.ln_valid[2])
     assert int(out.obs_ln_lm[0, 0]) == -1
+
+
+def test_medoid_descriptor_rejects_outlier():
+    """The representative descriptor must be the ring medoid: with two
+    near-identical observations and one outlier, the outlier never wins
+    (mapFeatures.cpp::updateAverageDescDir median-descriptor parity)."""
+    from plslam_tpu.backend.map import _medoid_desc
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 2**32 - 1, 8, dtype=np.uint64).astype(np.uint32)
+    near = base.copy()
+    near[0] ^= np.uint32(1)          # 1 bit away
+    outlier = ~base                   # 256 bits away
+    ring = jnp.asarray(np.stack([base, outlier, near,
+                                 np.zeros(8, np.uint32)])[None])
+    med = np.asarray(_medoid_desc(ring, jnp.asarray([3])))[0]
+    assert (med == base).all() or (med == near).all()
+    # with a single entry, the medoid IS that entry
+    med1 = np.asarray(_medoid_desc(ring, jnp.asarray([1])))[0]
+    assert (med1 == base).all()
+
+
+def test_view_direction_gate_blocks_opposite_view():
+    """A landmark observed twice from the front must not match from the
+    opposite side of the scene (view-angle gate, updateAverageDescDir
+    parity)."""
+    from plslam_tpu.backend.map import init_map_state, add_keyframe
+    from plslam_tpu.frontend.stereo_points import extract_stereo_points
+    from plslam_tpu.core import lie
+
+    seq = synthetic.make_sequence(CAM, n_frames=2, seed=13, n_points=150,
+                                  n_lines=0, noise=0.003, step=0.1)
+    state = init_map_state(CFG)
+    for f in range(2):
+        pts = extract_stereo_points(jnp.asarray(seq.images_l[f]),
+                                    jnp.asarray(seq.images_r[f]), CAM, CFG)
+        state, diag = add_keyframe(state, pts, None,
+                                   jnp.asarray(seq.poses[f]), CAM, CFG)
+    assert int(diag["n_map_matches"]) > 30   # sanity: frontal re-matching
+
+    # camera on the far side of the point cloud, looking back at it
+    center = np.asarray(state.pt_pos)[np.asarray(state.pt_valid)].mean(0)
+    T_back = np.eye(4, dtype=np.float32)
+    T_back[:3, :3] = np.asarray(lie.exp_se3(
+        jnp.asarray([0, 0, 0, 0.0, np.pi, 0.0])))[:3, :3]
+    T_back[:3, 3] = center + np.array([0, 0, 2.0 * center[2]], np.float32)
+    pts2 = extract_stereo_points(jnp.asarray(seq.images_l[1]),
+                                 jnp.asarray(seq.images_r[1]), CAM, CFG)
+    state2, diag2 = add_keyframe(state, pts2, None, jnp.asarray(T_back),
+                                 CAM, CFG)
+    # all map landmarks face the original camera; from behind, the view
+    # gate must block (essentially) every match
+    assert int(diag2["n_map_matches"]) < 5, int(diag2["n_map_matches"])
