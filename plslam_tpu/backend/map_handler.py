@@ -214,6 +214,10 @@ class MapHandler:
         self._worker: Optional[threading.Thread] = None
         self._fused = None          # lazily-built fused chunk-backend step
         self._fused_probe_on = None
+        # dispatch handshake (see wait_dispatched)
+        self._disp_cv = threading.Condition()
+        self._jobs_submitted = 0
+        self._jobs_dispatched = 0
         if self._async:
             self._worker = threading.Thread(target=self._work_loop, daemon=True)
             self._worker.start()
@@ -250,6 +254,8 @@ class MapHandler:
         job = ("batch", all_pts, all_lns, list(frame_idx),
                [np.asarray(T, np.float32) for T in T_rels], loop_closer)
         if self._async:
+            with self._disp_cv:
+                self._jobs_submitted += 1
             self._queue.put(job)
             return
         self._process_batch(*job[1:])
@@ -269,19 +275,17 @@ class MapHandler:
                 try:
                     job = self._queue.get_nowait()
                 except queue.Empty:
-                    self._handle_probe_entry(pending.pop(0))
+                    self._flush_probes(pending)
                     continue
             else:
                 job = self._queue.get()
             if job is None:
-                while pending:
-                    self._handle_probe_entry(pending.pop(0))
+                self._flush_probes(pending)
                 self._queue.task_done()
                 return
             try:
                 if job[0] == "kf":
-                    while pending:   # keep strict KF order
-                        self._handle_probe_entry(pending.pop(0))
+                    self._flush_probes(pending)   # keep strict KF order
                     summary = self._process(*job[1:5])
                     if job[5] is not None:
                         job[5](summary)
@@ -289,24 +293,71 @@ class MapHandler:
                 else:
                     # adaptive: while closures are firing, revert to the
                     # strict interleave (corrections must land before the
-                    # next insertions); otherwise pipeline the fetches
+                    # next insertions); otherwise pipeline the fetches —
+                    # several dispatched batches drain in ONE fetch
                     lc = job[5]
                     eager = (lc is not None
                              and getattr(lc, "closure_imminent", False))
                     if eager:
-                        while pending:
-                            self._handle_probe_entry(pending.pop(0))
+                        self._flush_probes(pending)
                         self._dispatch_batch(
                             *job[1:], handler=self._handle_probe_entry,
                             granularity=2)
+                        self._mark_dispatched()
                         self._queue.task_done()
                     else:
                         pending.extend(self._dispatch_batch(*job[1:]))
-                        while len(pending) > 1:   # bound pipeline depth
-                            self._handle_probe_entry(pending.pop(0))
+                        self._mark_dispatched()
+                        if len(pending) >= 3:     # bound pipeline depth
+                            self._flush_probes(pending)
             except Exception as e:  # surfaced via summaries
                 print(f"[map_handler] worker error: {e!r}")
+                if job[0] != "kf":
+                    self._mark_dispatched()
                 self._queue.task_done()
+
+    def _mark_dispatched(self):
+        with self._disp_cv:
+            self._jobs_dispatched += 1
+            self._disp_cv.notify_all()
+
+    def wait_dispatched(self, timeout: float = 30.0) -> None:
+        """Block until every submitted batch job's device programs have
+        been DISPATCHED (their fetches may still be pending). The chunked
+        tracker calls this before submitting the next chunk so the
+        back-end's programs interleave with the tracking chunks in the
+        device stream — otherwise the worker's programs land behind
+        several future chunks and every probe fetch pays a multi-chunk
+        stream wait."""
+        if not self._async:
+            return
+        import time as _time
+        deadline = _time.monotonic() + timeout
+        with self._disp_cv:
+            while self._jobs_dispatched < self._jobs_submitted:
+                if not self._disp_cv.wait(timeout=0.2):
+                    if (_time.monotonic() > deadline
+                            or self._worker is None
+                            or not self._worker.is_alive()):
+                        return
+
+    def _flush_probes(self, pending):
+        """Handle every deferred probe entry with ONE batched fetch."""
+        if not pending:
+            return
+        entries, n_done = list(pending), 0
+        pending.clear()
+        try:
+            lc = entries[0][4]
+            if lc is not None:
+                lc.on_probe_batches(
+                    self, [(e[0], e[1], e[2], e[3]) for e in entries])
+        except Exception as e:
+            print(f"[map_handler] probe error: {e!r}")
+        finally:
+            for e in entries:
+                if e[5]:
+                    self._queue.task_done()
 
     def _handle_probe_entry(self, entry):
         slots, scores, covis, poses, loop_closer, last_of_job = entry

@@ -151,9 +151,11 @@ class ChunkedPLSLAM:
         settled so far. Pipelined: the chunk is only SUBMITTED here; the
         host-side work (fetch, KF decisions, mapping hand-off) happens
         for the previous chunk while this one executes on device."""
-        import time
-        while self.map.backlog() > 1:   # pace the tracker to the worker
-            time.sleep(0.002)
+        # interleave the back-end's device programs with the tracking
+        # chunks: wait until queued mapping jobs are DISPATCHED (their
+        # fetches pipeline on the worker) before enqueueing more
+        # tracking work ahead of them in the stream
+        self.map.wait_dispatched()
         self.vo.submit_chunk(imgs_l, imgs_r, keep_feats=True)
         self._inflight.append(n_valid)
         if len(self._inflight) >= 2:

@@ -240,27 +240,43 @@ class LoopCloser:
 
     def on_probe_batch(self, map_handler, slots, scores_d, covis_d, poses_d
                        ) -> Optional[np.ndarray]:
-        """Consume the stacked probe outputs of a fused chunk-backend
-        dispatch (backend.chunk_backend): ONE host fetch for the whole
-        chunk, then the usual per-KF edge/candidate/vote logic in slot
-        order. Returns the last correction (if any loop closed)."""
+        """Single-batch convenience wrapper over on_probe_batches."""
+        return self.on_probe_batches(map_handler,
+                                     [(slots, scores_d, covis_d, poses_d)])
+
+    def on_probe_batches(self, map_handler, batches) -> Optional[np.ndarray]:
+        """Consume the stacked probe outputs of one or MORE fused
+        chunk-backend dispatches (backend.chunk_backend) with ONE host
+        fetch for everything, then the usual per-KF edge/candidate/vote
+        logic in slot order. Batching several dispatches per fetch
+        matters on tunnel-attached runtimes: each fetch must wait for
+        its program's position in the device stream (behind in-flight
+        tracking chunks), so paying that wait once per few chunks
+        instead of per sub-batch is full-SLAM throughput. Returns the
+        last correction (if any loop closed)."""
         with map_handler._lock:
             state = map_handler.state
-            scores, covis, poses, n_kfs, kf_poses = jax.device_get(
-                (scores_d, covis_d, poses_d, state.n_kfs, state.kf_pose))
+            datas, n_kfs, kf_poses = jax.device_get(
+                ([(s, c, p) for _, s, c, p in batches],
+                 state.n_kfs, state.kf_pose))
+        n_kfs = int(n_kfs)
         corrected = None
-        for j, slot in enumerate(slots):
-            if corrected is not None:
-                # a closure earlier in this batch moved every KF: the
-                # cached probe poses are stale — use corrected ones, or
-                # an odometry edge would mix pre-/post-correction frames
-                kf_poses = corrected
-                poses = kf_poses[list(slots)]
-            out = self._handle_probe_result(
-                map_handler, slot, scores[j], covis[j], poses[j],
-                int(n_kfs), kf_poses)
-            if out is not None:
-                corrected = out
+        for (slots, *_), (scores, covis, poses) in zip(batches, datas):
+            for j, slot in enumerate(slots):
+                if corrected is not None:
+                    # a closure earlier in this flush moved every KF: the
+                    # cached probe poses are stale — use corrected ones,
+                    # or an odometry edge would mix pre-/post-correction
+                    # frames
+                    kf_poses = corrected
+                    pose_j = corrected[slot]
+                else:
+                    pose_j = poses[j]
+                out = self._handle_probe_result(
+                    map_handler, slot, scores[j], covis[j], pose_j,
+                    n_kfs, kf_poses)
+                if out is not None:
+                    corrected = out
         return corrected
 
     def _handle_probe_result(self, map_handler, slot: int, scores, covis,

@@ -1,20 +1,28 @@
-"""Distributed local bundle adjustment over a TPU mesh.
+"""Distributed local bundle adjustment over a TPU mesh — SHARDED MAP.
 
 NEW capability (no reference equivalent — SURVEY.md §2.3 P5/P6): the
 reference is a single-process CPU system; its scaling story ends at two
-std::threads. Here the LBA normal-equation assembly is sharded with
-``shard_map`` over a device mesh and reduced with XLA collectives over
-ICI:
+std::threads. Here both the LANDMARK STATE and the solver are sharded
+with ``shard_map`` over the mesh's 'lm' axis:
 
-  stage 1 (observation-sharded): each device assembles partial
-      H_cc, g_c, H_pp, g_p, H_cp from its slice of the observation
-      slots; ``psum`` over the 'lm' axis yields the global blocks.
-  stage 2 (landmark-sharded): each device owns a contiguous landmark
-      range, inverts its 3x3 H_pp blocks, computes its partial Schur
-      correction sum_p B_p H_cp_p^T; ``psum`` gives the reduced camera
-      system S (tiny, solved replicated).
-  stage 3: back-substitution of landmark updates is embarrassingly
-      parallel over the landmark shards.
+  ownership   : landmark g belongs to shard g % n (round-robin, so the
+                recency-skewed observation load balances); lines own
+                both their endpoints. ``bucket_problem_by_owner``
+                permutes a problem into this layout and routes every
+                observation slot to its landmark's owner shard.
+  assembly    : each device builds H_pp, g_p and its H_cp COLUMNS from
+                its own observation slice only — no dense (W, P) block
+                ever exists globally, and landmark positions live
+                sharded end to end (a map larger than one device's HBM
+                works).
+  reduction   : the only collectives are the reduced camera system —
+                psum of H_cc (W,6,6), g_c (W,6), the Schur correction
+                (W,W,6,6), g_corr (W,6) and two robust-scale scalars:
+                ~16 KB per step at W=10, INDEPENDENT of the landmark
+                count (the round-1 design psummed O(W*P) dense blocks).
+                See ``comm_bytes_per_step`` + the HLO-verified test.
+  back-sub    : landmark updates are computed and REMAIN on their owner
+                shard (out_specs P('lm')).
 
   The 'kf' mesh axis runs independent LBA windows (map blocks /
   trajectory segments) data-parallel — the distributed-BA layout of
@@ -22,8 +30,9 @@ ICI:
 
 Correctness contract: the step is invariant to the device count (1-dev
 mesh == N-dev mesh up to f32 reduction order) — asserted in tests on a
-CPU mesh. It intentionally differs from backend.lba in ONE place: the
-robust scale uses the collective-friendly mean-|r| estimator
+CPU mesh, and across two real OS processes in tests/test_multihost.py.
+It intentionally differs from backend.lba in ONE place: the robust
+scale uses the collective-friendly mean-|r| estimator
 (sigma = 1.2533 * mean|r|) instead of the median-based MAD, which would
 need a distributed selection; both are consistent scale estimators for
 the same weight family.
@@ -32,8 +41,9 @@ the same weight family.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -43,6 +53,7 @@ from plslam_tpu.core import lie, robust
 from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.parallel.mesh import make_mesh, shard_map_fn
 
+
 def _einsum_hi(*args, **kw):
     """einsum at full f32 precision (TPU default runs bf16 passes; too
     coarse for pose-graph / Schur normal equations — see core.lie.mm)."""
@@ -50,13 +61,134 @@ def _einsum_hi(*args, **kw):
     return jnp.einsum(*args, **kw)
 
 
+# ---------------------------------------------------------------------------
+# owner-sharded problem layout
+# ---------------------------------------------------------------------------
 
-def _local_assemble(problem: lba_mod.LBAProblem, cam: StereoCamera,
-                    axis: str):
-    """Stage 1 on the local observation shard + psum to global blocks."""
+class BucketedProblem(NamedTuple):
+    problem: lba_mod.LBAProblem   # owner-sharded layout, LOCAL landmark ids
+    pt_perm: jnp.ndarray          # (P,) original id -> bucketed row
+    ep_perm: jnp.ndarray          # (Q,) original endpoint -> bucketed row
+    n_dropped: jnp.ndarray        # obs slots lost to per-shard capacity
+
+
+def _bucket_rows(ids, n: int, cap: int, lm_shard: int, payload):
+    """Route each obs slot of every row to its owner's contiguous slice.
+
+    ids (W, K) landmark ids in ORIGINAL order (-1 invalid) with owner =
+    id % n; payload: pytree of (W, K, ...) arrays moved along. Returns
+    (bucketed_ids (W, K), payload_bucketed, n_dropped) where column
+    slice [d*cap, (d+1)*cap) holds owner d's observations, and ids are
+    in the BUCKETED GLOBAL layout (owner * lm_shard + id // n — shards
+    subtract their axis offset to obtain local ids)."""
+    W, K = ids.shape
+
+    def row(ids_r, pay_r):
+        owner = jnp.where(ids_r >= 0, ids_r % n, n)
+        srt = jnp.argsort(owner, stable=True)
+        o_s = owner[srt]
+        start = jnp.searchsorted(o_s, o_s, side="left")
+        rank = jnp.arange(K) - start
+        ok = (o_s < n) & (rank < cap)
+        dest = jnp.where(ok, o_s * cap + rank, K)
+        ids_s = ids_r[srt]
+        new_id = jnp.where(ok, o_s * lm_shard + ids_s // n, -1)
+        out_ids = jnp.full((K,), -1, jnp.int32).at[dest].set(
+            new_id.astype(jnp.int32), mode="drop")
+        out_pay = jax.tree_util.tree_map(
+            lambda x: jnp.zeros_like(x).at[dest].set(x[srt], mode="drop"),
+            pay_r)
+        dropped = jnp.sum((o_s < n) & ~ok)
+        return out_ids, out_pay, dropped
+
+    out_ids, out_pay, dropped = jax.vmap(row)(ids, payload)
+    return out_ids, out_pay, jnp.sum(dropped)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def bucket_problem_by_owner(prob: lba_mod.LBAProblem, n: int
+                            ) -> BucketedProblem:
+    """Permute a global-layout problem into the owner-sharded layout.
+
+    Landmarks: round-robin ownership (id %% n), local id = id // n;
+    lines own BOTH endpoints (owner = line %% n), so a line's two
+    endpoint residuals always land on one shard. Observation slots are
+    routed to their owner's column slice (capacity K//n per shard; the
+    rare overflow beyond a shard's slice is dropped and counted).
+    """
+    Pn = prob.pt_pos.shape[0]
+    Q = prob.ep_pos.shape[0]
+    W, K = prob.obs_pt_id.shape
+    L = prob.obs_ln_sid.shape[1]
+    assert Pn % n == 0 and Q % (2 * n) == 0 and K % n == 0 and L % n == 0
+
+    # landmark permutations: bucketed_row(old) = owner*size + local
+    g = jnp.arange(Pn)
+    pt_perm = (g % n) * (Pn // n) + g // n
+    pt_pos = jnp.zeros_like(prob.pt_pos).at[pt_perm].set(prob.pt_pos)
+
+    m = jnp.arange(Q // 2)                      # line ids
+    line_perm = (m % n) * (Q // (2 * n)) + m // n
+    e = jnp.arange(Q)
+    ep_perm = 2 * line_perm[e // 2] + e % 2
+    ep_pos = jnp.zeros_like(prob.ep_pos).at[ep_perm].set(prob.ep_pos)
+
+    # point observations: owner by point id
+    obs_pt_id, pay, drop_p = _bucket_rows(
+        prob.obs_pt_id, n, K // n, Pn // n,
+        (prob.obs_pt_uv, prob.obs_pt_disp))
+    obs_pt_uv, obs_pt_disp = pay
+
+    # line observations: owner by LINE id (sid // 2); both endpoint ids
+    # become bucketed endpoint indices 2*bucketed_line + (0|1)
+    line_of = jnp.where(prob.obs_ln_sid >= 0, prob.obs_ln_sid // 2, -1)
+    line_new, pay, drop_l = _bucket_rows(
+        line_of, n, L // n, Q // (2 * n),
+        (prob.obs_ln_le, prob.obs_ln_sid % 2, prob.obs_ln_eid % 2))
+    obs_ln_le, s_par, e_par = pay
+    obs_ln_sid = jnp.where(line_new >= 0, 2 * line_new + s_par, -1)
+    obs_ln_eid = jnp.where(line_new >= 0, 2 * line_new + e_par, -1)
+
+    new_prob = prob._replace(
+        pt_pos=pt_pos, ep_pos=ep_pos,
+        obs_pt_uv=obs_pt_uv, obs_pt_disp=obs_pt_disp, obs_pt_id=obs_pt_id,
+        obs_ln_le=obs_ln_le, obs_ln_sid=obs_ln_sid, obs_ln_eid=obs_ln_eid)
+    return BucketedProblem(new_prob, pt_perm, ep_perm, drop_p + drop_l)
+
+
+def unbucket_landmarks(x_bucketed: jnp.ndarray, perm: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Map owner-sharded landmark rows back to the original order."""
+    return x_bucketed[perm]
+
+
+def comm_bytes_per_step(W: int) -> int:
+    """Analytic all-reduce volume of one sharded step (f32 bytes):
+    H_cc (W,6,6) + g_c (W,6) + Schur correction (W,W,6,6) + g_corr (W,6)
+    + 2 robust-scale scalars — independent of the landmark count."""
+    return 4 * (W * 36 + W * 6 + W * W * 36 + W * 6 + 2)
+
+
+# ---------------------------------------------------------------------------
+# the sharded step
+# ---------------------------------------------------------------------------
+
+def _owner_shard_step(problem: lba_mod.LBAProblem, lam, cam: StereoCamera,
+                      axis: str):
+    """Runs per shard: local landmark state + local observation slice.
+    Only the reduced camera system crosses devices."""
     W = problem.kf_pose.shape[0]
-    Pn = problem.pt_pos.shape[0]
-    Q = problem.ep_pos.shape[0]
+
+    # ids arrive in the bucketed GLOBAL layout; this shard's landmarks
+    # occupy [me*P_loc, (me+1)*P_loc) — convert to local indices
+    me = jax.lax.axis_index(axis)
+    P_loc = problem.pt_pos.shape[0]
+    Q_loc = problem.ep_pos.shape[0]
+    to_local = lambda ids, size: jnp.where(ids >= 0, ids - me * size, -1)
+    problem = problem._replace(
+        obs_pt_id=to_local(problem.obs_pt_id, P_loc),
+        obs_ln_sid=to_local(problem.obs_ln_sid, Q_loc),
+        obs_ln_eid=to_local(problem.obs_ln_eid, Q_loc))
 
     r, Jc, Jp, ok = lba_mod._point_rj(problem.kf_pose, problem.pt_pos,
                                       problem.obs_pt_uv, problem.obs_pt_disp,
@@ -69,14 +201,11 @@ def _local_assemble(problem: lba_mod.LBAProblem, cam: StereoCamera,
                                              problem.obs_ln_eid, cam)
     rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
 
-    # robust scale needs GLOBAL statistics: median via distributed
-    # histogram would be exact; a psum-mean absolute deviation is the
-    # cheap equivalent used here (same scale family, fully collective)
+    # robust scale from GLOBAL statistics (collective-friendly mean |r|)
     n_ok = jax.lax.psum(jnp.sum(ok) + jnp.sum(oks) + jnp.sum(oke), axis)
     s_abs = jax.lax.psum(jnp.sum(jnp.where(ok, rn, 0.0))
                          + jnp.sum(jnp.where(oks, jnp.abs(rs), 0.0))
                          + jnp.sum(jnp.where(oke, jnp.abs(re), 0.0)), axis)
-    # mean |r| * 1.2533 estimates sigma for gaussian residuals
     sigma = jnp.maximum(1.2533 * s_abs / jnp.maximum(n_ok, 1), 1e-4)
 
     w = jnp.where(ok, robust.tstudent_weight(rn, sigma), 0.0)
@@ -94,76 +223,46 @@ def _local_assemble(problem: lba_mod.LBAProblem, cam: StereoCamera,
     g_c = (_einsum_hi("w k, w k i a, w k i -> w a", w, Jc, r)
            + _einsum_hi("w l, w l a, w l -> w a", ws, Jcs, rs)
            + _einsum_hi("w l, w l a, w l -> w a", we, Jce, re))
+    H_cc = jax.lax.psum(H_cc, axis)
+    g_c = jax.lax.psum(g_c, axis)
 
-    pid = jnp.maximum(problem.obs_pt_id, 0)
-    Hpp = jnp.zeros((Pn, 3, 3)).at[pid.reshape(-1)].add(
-        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jp, Jp
-                   ).reshape(-1, 3, 3))
-    g_p = jnp.zeros((Pn, 3)).at[pid.reshape(-1)].add(
-        _einsum_hi("w k, w k i a, w k i -> w k a", w, Jp, r).reshape(-1, 3))
-    w_rows = jnp.broadcast_to(jnp.arange(W)[:, None], pid.shape).reshape(-1)
-    H_cp = jnp.zeros((W, Pn, 6, 3)).at[w_rows, pid.reshape(-1)].add(
-        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jc, Jp
-                   ).reshape(-1, 6, 3))
+    # ---- LOCAL landmark blocks (one one-hot contraction per family) ----
+    Pn_loc = problem.pt_pos.shape[0]
+    Q_loc = problem.ep_pos.shape[0]
+    Hpp, g_p, H_cp = lba_mod._bin_landmark_blocks(
+        problem.obs_pt_id, Pn_loc,
+        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jp, Jp),
+        _einsum_hi("w k, w k i a, w k i -> w k a", w, Jp, r),
+        _einsum_hi("w k, w k i a, w k i b -> w k a b", w, Jc, Jp))
+    Hqq = jnp.zeros((Q_loc, 3, 3))
+    g_q = jnp.zeros((Q_loc, 3))
+    H_cq = jnp.zeros((W, Q_loc, 6, 3))
+    for (ids_, ww, Jcx, Jpx, rx) in ((problem.obs_ln_sid, ws, Jcs, Jps, rs),
+                                     (problem.obs_ln_eid, we, Jce, Jpe, re)):
+        Hq1, gq1, Hcq1 = lba_mod._bin_landmark_blocks(
+            ids_, Q_loc,
+            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jpx, Jpx),
+            _einsum_hi("w l, w l a, w l -> w l a", ww, Jpx, rx),
+            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jcx, Jpx))
+        Hqq, g_q, H_cq = Hqq + Hq1, g_q + gq1, H_cq + Hcq1
 
-    sid = jnp.maximum(problem.obs_ln_sid, 0)
-    eid = jnp.maximum(problem.obs_ln_eid, 0)
-    Hqq = jnp.zeros((Q, 3, 3))
-    g_q = jnp.zeros((Q, 3))
-    H_cq = jnp.zeros((W, Q, 6, 3))
-    w_rows_l = jnp.broadcast_to(jnp.arange(W)[:, None], sid.shape).reshape(-1)
-    for (ids_, ww, Jcx, Jpx, rx) in ((sid, ws, Jcs, Jps, rs),
-                                     (eid, we, Jce, Jpe, re)):
-        Hqq = Hqq.at[ids_.reshape(-1)].add(
-            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jpx, Jpx
-                       ).reshape(-1, 3, 3))
-        g_q = g_q.at[ids_.reshape(-1)].add(
-            _einsum_hi("w l, w l a, w l -> w l a", ww, Jpx, rx).reshape(-1, 3))
-        H_cq = H_cq.at[w_rows_l, ids_.reshape(-1)].add(
-            _einsum_hi("w l, w l a, w l b -> w l a b", ww, Jcx, Jpx
-                       ).reshape(-1, 6, 3))
-
-    # global blocks over the landmark/observation axis
-    psum = lambda x: jax.lax.psum(x, axis)
-    return (psum(H_cc), psum(g_c), psum(Hpp), psum(g_p), psum(H_cp),
-            psum(Hqq), psum(g_q), psum(H_cq))
-
-
-def _schur_solve_local(H_cc, g_c, Hpp, g_p, H_cp, Hqq, g_q, H_cq,
-                       kf_free, lam, axis: str, n_dev: int):
-    """Stages 2+3: landmark-sharded Schur reduction + replicated solve."""
-    W = H_cc.shape[0]
-    Pn = Hpp.shape[0]
-    Q = Hqq.shape[0]
-    me = jax.lax.axis_index(axis)
-    p_chunk = Pn // n_dev
-    q_chunk = Q // n_dev
-
-    def shard_slice(x, chunk):
-        return jax.lax.dynamic_slice_in_dim(x, me * chunk, chunk, axis=0)
-
+    # ---- damping + local landmark inverses ------------------------------
     eye3 = jnp.eye(3)
-    Hpp_s = shard_slice(Hpp, p_chunk)
-    Hcp_s = jax.lax.dynamic_slice_in_dim(H_cp, me * p_chunk, p_chunk, axis=1)
-    gp_s = shard_slice(g_p, p_chunk)
-    Hpp_d = Hpp_s + (lam * jnp.maximum(
-        jnp.diagonal(Hpp_s, axis1=-2, axis2=-1), 1e-3))[..., None] * eye3
+    Hpp_d = Hpp + (lam * jnp.maximum(
+        jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-3))[..., None] * eye3
+    Hqq_d = Hqq + (lam * jnp.maximum(
+        jnp.diagonal(Hqq, axis1=-2, axis2=-1), 1e-3))[..., None] * eye3
     Hpp_inv = lie.inv3(Hpp_d)
-    Bp = _einsum_hi("w p a b, p b c -> w p a c", Hcp_s, Hpp_inv)
-
-    Hqq_s = shard_slice(Hqq, q_chunk)
-    Hcq_s = jax.lax.dynamic_slice_in_dim(H_cq, me * q_chunk, q_chunk, axis=1)
-    gq_s = shard_slice(g_q, q_chunk)
-    Hqq_d = Hqq_s + (lam * jnp.maximum(
-        jnp.diagonal(Hqq_s, axis1=-2, axis2=-1), 1e-3))[..., None] * eye3
     Hqq_inv = lie.inv3(Hqq_d)
-    Bq = _einsum_hi("w q a b, q b c -> w q a c", Hcq_s, Hqq_inv)
+    Bp = _einsum_hi("w p a b, p b c -> w p a c", H_cp, Hpp_inv)
+    Bq = _einsum_hi("w q a b, q b c -> w q a c", H_cq, Hqq_inv)
 
-    corr = (_einsum_hi("w p a b, v p c b -> w v a c", Bp, Hcp_s)
-            + _einsum_hi("w q a b, v q c b -> w v a c", Bq, Hcq_s))
-    g_corr = (_einsum_hi("w p a b, p b -> w a", Bp, gp_s)
-              + _einsum_hi("w q a b, q b -> w a", Bq, gq_s))
-    corr = jax.lax.psum(corr, axis)          # distributed Schur reduction
+    # ---- distributed Schur reduction: the ONLY big collective ----------
+    corr = (_einsum_hi("w p a b, v p c b -> w v a c", Bp, H_cp)
+            + _einsum_hi("w q a b, v q c b -> w v a c", Bq, H_cq))
+    g_corr = (_einsum_hi("w p a b, p b -> w a", Bp, g_p)
+              + _einsum_hi("w q a b, q b -> w a", Bq, g_q))
+    corr = jax.lax.psum(corr, axis)
     g_corr = jax.lax.psum(g_corr, axis)
 
     S = lba_mod.H_cc_block_diag(H_cc, W) - corr
@@ -171,83 +270,77 @@ def _schur_solve_local(H_cc, g_c, Hpp, g_p, H_cp, Hqq, g_q, H_cq,
     idx = jnp.arange(W)
     damp = lam * jnp.maximum(jnp.diagonal(H_cc, axis1=-2, axis2=-1), 1e-3)
     S = S.at[idx, idx].add(damp[..., None] * jnp.eye(6) + 1e-6 * jnp.eye(6))
-    pin = jnp.where(kf_free, 0.0, 1e8)
+    pin = jnp.where(free, 0.0, 1e8)
     S = S.at[idx, idx].add(pin[:, None, None] * jnp.eye(6))
     Sm = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
     dxi = -jnp.linalg.solve(Sm, g_red.reshape(-1)).reshape(W, 6)
-    dxi = jnp.where(kf_free[:, None], dxi, 0.0)
+    dxi = jnp.where(free[:, None], dxi, 0.0)
 
-    # stage 3: local back-substitution, then all_gather the shards
-    rhs_p = gp_s + _einsum_hi("w p a b, w a -> p b", Hcp_s, dxi)
-    d_pt_s = -_einsum_hi("p a b, p b -> p a", Hpp_inv, rhs_p)
-    d_pt_s = jnp.where((jnp.diagonal(Hpp_s, axis1=-2, axis2=-1).sum(-1) > 0
-                        )[:, None], d_pt_s, 0.0)
-    rhs_q = gq_s + _einsum_hi("w q a b, w a -> q b", Hcq_s, dxi)
-    d_ep_s = -_einsum_hi("q a b, q b -> q a", Hqq_inv, rhs_q)
-    d_ep_s = jnp.where((jnp.diagonal(Hqq_s, axis1=-2, axis2=-1).sum(-1) > 0
-                        )[:, None], d_ep_s, 0.0)
-    d_pt = jax.lax.all_gather(d_pt_s, axis, tiled=True)
-    d_ep = jax.lax.all_gather(d_ep_s, axis, tiled=True)
+    # ---- back-substitution: landmark updates STAY on their shard -------
+    rhs_p = g_p + _einsum_hi("w p a b, w a -> p b", H_cp, dxi)
+    d_pt = -_einsum_hi("p a b, p b -> p a", Hpp_inv, rhs_p)
+    d_pt = jnp.where((jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1) > 0
+                      )[:, None], d_pt, 0.0)
+    rhs_q = g_q + _einsum_hi("w q a b, w a -> q b", H_cq, dxi)
+    d_ep = -_einsum_hi("q a b, q b -> q a", Hqq_inv, rhs_q)
+    d_ep = jnp.where((jnp.diagonal(Hqq, axis1=-2, axis2=-1).sum(-1) > 0
+                      )[:, None], d_ep, 0.0)
     return dxi, d_pt, d_ep
 
 
+def _problem_specs(kf_axis, lm_axis):
+    g = P(kf_axis) if kf_axis else P()
+    def obs(*tail):
+        parts = ((kf_axis,) if kf_axis else ()) + (None, lm_axis) + tail
+        return P(*parts)
+    def lmk():
+        parts = ((kf_axis,) if kf_axis else ()) + (lm_axis,)
+        return P(*parts)
+    return lba_mod.LBAProblem(
+        kf_pose=g, kf_fixed=g, kf_valid=g,
+        pt_pos=lmk(), ep_pos=lmk(),
+        obs_pt_uv=obs(None), obs_pt_disp=obs(), obs_pt_id=obs(),
+        obs_ln_le=obs(None), obs_ln_sid=obs(), obs_ln_eid=obs())
+
+
 def make_dist_lba_step(mesh, cam: StereoCamera, axis: str = "lm"):
-    """Build a jitted sharded LBA step for one problem.
+    """Build a jitted owner-sharded LBA step.
 
-    The returned fn(problem, lam) -> (dxi, d_pt, d_ep) shards the
-    observation-slot axis and landmark arrays over ``axis`` of ``mesh``.
+    The problem MUST be in the owner-sharded layout produced by
+    ``bucket_problem_by_owner(prob, mesh.shape[axis])``: landmark state
+    arrays are sharded over ``axis`` and each observation-column slice
+    references its shard's landmarks by LOCAL id. Returns
+    fn(problem, lam) -> (dxi replicated, d_pt sharded, d_ep sharded).
     """
-    n_dev = mesh.shape[axis]
-
     def step(problem: lba_mod.LBAProblem, lam):
-        blocks = _local_assemble(problem, cam, axis)
-        return _schur_solve_local(
-            *blocks, (~problem.kf_fixed) & problem.kf_valid, lam, axis, n_dev)
+        return _owner_shard_step(problem, lam, cam, axis)
 
-    rep = P()
-    obs_pt_spec = lba_mod.LBAProblem(
-        kf_pose=rep, kf_fixed=rep, kf_valid=rep,
-        pt_pos=rep, ep_pos=rep,
-        obs_pt_uv=P(None, axis, None), obs_pt_disp=P(None, axis),
-        obs_pt_id=P(None, axis),
-        obs_ln_le=P(None, axis, None), obs_ln_sid=P(None, axis),
-        obs_ln_eid=P(None, axis))
     fn = shard_map_fn(step, mesh,
-                      in_specs=(obs_pt_spec, rep),
-                      out_specs=(rep, rep, rep), check=False)
+                      in_specs=(_problem_specs(None, axis), P()),
+                      out_specs=(P(), P(axis), P(axis)), check=False)
     return jax.jit(fn)
 
 
 def make_dist_lba_step_dp(mesh, cam: StereoCamera, kf_axis: str = "kf",
                           lm_axis: str = "lm"):
-    """Data-parallel windows x landmark-sharded Schur on a 2D mesh.
+    """Data-parallel windows x owner-sharded Schur on a 2D mesh.
 
     The 'kf' mesh axis runs INDEPENDENT LBA windows (map blocks /
     trajectory segments — e.g. concurrent sequences, BASELINE.json's
-    multi-host configuration) while each window's Schur reduction is
-    sharded over the 'lm' axis exactly as make_dist_lba_step. Input is a
-    batched LBAProblem with a leading window axis (length divisible by
-    mesh.shape['kf']); returns batched (dxi, d_pt, d_ep).
+    multi-host configuration) while each window's landmark state and
+    Schur reduction shard over 'lm' exactly as make_dist_lba_step.
+    Input: a batched owner-sharded LBAProblem with a leading window axis
+    (length divisible by mesh.shape['kf']); returns batched
+    (dxi, d_pt, d_ep).
     """
-    n_lm = mesh.shape[lm_axis]
-
     def step(problems: lba_mod.LBAProblem, lam):
-        def one(problem):
-            blocks = _local_assemble(problem, cam, lm_axis)
-            return _schur_solve_local(
-                *blocks, (~problem.kf_fixed) & problem.kf_valid, lam,
-                lm_axis, n_lm)
-        return jax.vmap(one)(problems)
+        return jax.vmap(
+            lambda p: _owner_shard_step(p, lam, cam, lm_axis))(problems)
 
     g = P(kf_axis)
-    prob_spec = lba_mod.LBAProblem(
-        kf_pose=g, kf_fixed=g, kf_valid=g, pt_pos=g, ep_pos=g,
-        obs_pt_uv=P(kf_axis, None, lm_axis, None),
-        obs_pt_disp=P(kf_axis, None, lm_axis),
-        obs_pt_id=P(kf_axis, None, lm_axis),
-        obs_ln_le=P(kf_axis, None, lm_axis, None),
-        obs_ln_sid=P(kf_axis, None, lm_axis),
-        obs_ln_eid=P(kf_axis, None, lm_axis))
-    fn = shard_map_fn(step, mesh, in_specs=(prob_spec, P()),
-                      out_specs=(g, g, g), check=False)
+    fn = shard_map_fn(
+        step, mesh,
+        in_specs=(_problem_specs(kf_axis, lm_axis), P()),
+        out_specs=(g, P(kf_axis, lm_axis), P(kf_axis, lm_axis)),
+        check=False)
     return jax.jit(fn)

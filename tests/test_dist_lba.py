@@ -1,6 +1,9 @@
-"""Distributed LBA on the simulated CPU mesh: device-count invariance +
+"""Distributed LBA on the simulated CPU mesh: device-count invariance,
 agreement with the single-device solver (SURVEY.md §7.2 'assert sharded
-Schur solve equals single-device solve')."""
+Schur solve equals single-device solve'), and the sharded-map comm
+contract (all-reduce volume independent of landmark count)."""
+
+import re
 
 import numpy as np
 import jax
@@ -11,7 +14,10 @@ from plslam_tpu.config import SlamConfig, CameraConfig
 from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.backend import lba
 from plslam_tpu.parallel.mesh import make_mesh
-from plslam_tpu.parallel.dist_lba import make_dist_lba_step
+from plslam_tpu.parallel.dist_lba import (bucket_problem_by_owner,
+                                          comm_bytes_per_step,
+                                          make_dist_lba_step,
+                                          unbucket_landmarks)
 
 from test_lba import make_lba_problem  # noqa: E402
 
@@ -20,7 +26,7 @@ CAM = StereoCamera.from_config(CameraConfig(
     baseline=0.4))
 
 
-def _pad_problem(prob, k_mult=8, q_mult=8):
+def _pad_problem(prob, k_mult=8, q_mult=16):
     """Pad observation-slot and landmark axes to device-count multiples."""
     W, K = prob.obs_pt_id.shape
     L = prob.obs_ln_sid.shape[1]
@@ -51,20 +57,50 @@ def problem():
     return _pad_problem(prob)
 
 
+def test_bucketing_roundtrip(problem):
+    """Owner bucketing is a pure relabeling: landmark positions permute,
+    observations keep their geometry, no slot is dropped at these sizes,
+    and the true LBA cost is unchanged."""
+    b = bucket_problem_by_owner(problem, 4)
+    assert int(b.n_dropped) == 0
+    np.testing.assert_allclose(
+        np.asarray(unbucket_landmarks(b.problem.pt_pos, b.pt_perm)),
+        np.asarray(problem.pt_pos))
+    np.testing.assert_allclose(
+        np.asarray(unbucket_landmarks(b.problem.ep_pos, b.ep_perm)),
+        np.asarray(problem.ep_pos))
+    c0 = float(lba.lba_cost(problem, CAM))
+    c1 = float(lba.lba_cost(b.problem, CAM))
+    assert abs(c0 - c1) < 1e-2 * max(abs(c0), 1.0), (c0, c1)
+    # every shard's column slice references only its own landmark range
+    n, K = 4, problem.obs_pt_id.shape[1]
+    ids = np.asarray(b.problem.obs_pt_id)
+    P_loc = problem.pt_pos.shape[0] // n
+    for d in range(n):
+        sl = ids[:, d * (K // n):(d + 1) * (K // n)]
+        live = sl[sl >= 0]
+        if live.size:
+            assert live.min() >= d * P_loc and live.max() < (d + 1) * P_loc
+
+
 def test_mesh_invariance(problem):
-    """Same step on 1, 2, 4, 8 devices must agree."""
+    """Same step on 1, 2, 4, 8 devices must agree (in original order)."""
     lam = jnp.asarray(1e-4)
     outs = []
     for n in [1, 2, 4, 8]:
         mesh = make_mesh(n, axes=("lm",))
         step = make_dist_lba_step(mesh, CAM)
-        outs.append(step(problem, lam))
+        b = bucket_problem_by_owner(problem, n)
+        assert int(b.n_dropped) == 0
+        dxi, d_pt, d_ep = step(b.problem, lam)
+        outs.append((np.asarray(dxi),
+                     np.asarray(unbucket_landmarks(d_pt, b.pt_perm)),
+                     np.asarray(unbucket_landmarks(d_ep, b.ep_perm))))
     d0 = outs[0]
     for n, d in zip([2, 4, 8], outs[1:]):
-        for a, b, name in zip(d0, d, ["dxi", "d_pt", "d_ep"]):
+        for a, b_, name in zip(d0, d, ["dxi", "d_pt", "d_ep"]):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=4e-3,  # f32 cross-mesh
-                # reduction-order noise on weakly-observed landmarks
+                a, b_, atol=4e-3,  # f32 cross-mesh reduction-order noise
                 err_msg=f"{name} differs on {n}-device mesh")
 
 
@@ -74,23 +110,26 @@ def test_dist_matches_single_device_direction(problem):
     lam = jnp.asarray(1e-4)
     mesh = make_mesh(8, axes=("lm",))
     step = make_dist_lba_step(mesh, CAM)
-    dxi_d, dpt_d, dep_d = step(problem, lam)
-    dxi_s, dpt_s, dep_s = lba._assemble_and_solve(problem, CAM, lam)
-    for a, b in [(dxi_d, dxi_s), (dpt_d, dpt_s)]:
+    b = bucket_problem_by_owner(problem, 8)
+    dxi_d, dpt_d, _ = step(b.problem, lam)
+    dpt_d = unbucket_landmarks(dpt_d, b.pt_perm)
+    dxi_s, dpt_s, _ = lba._assemble_and_solve(problem, CAM, lam)
+    for a, b_ in [(dxi_d, dxi_s), (dpt_d, dpt_s)]:
         a = np.asarray(a).ravel()
-        b = np.asarray(b).ravel()
-        cos = a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+        b_ = np.asarray(b_).ravel()
+        cos = a @ b_ / max(np.linalg.norm(a) * np.linalg.norm(b_), 1e-12)
         assert cos > 0.99, f"step direction mismatch: cos={cos:.4f}"
-        ratio = np.linalg.norm(a) / max(np.linalg.norm(b), 1e-12)
+        ratio = np.linalg.norm(a) / max(np.linalg.norm(b_), 1e-12)
         assert 0.7 < ratio < 1.4, f"step magnitude ratio {ratio:.3f}"
 
 
 def test_dist_lba_converges(problem):
-    """Iterating the sharded step must reduce the true LBA cost."""
+    """Iterating the sharded step must reduce the true LBA cost (the
+    state stays in the sharded layout throughout, as deployed)."""
     from plslam_tpu.core import lie
     mesh = make_mesh(4, axes=("lm",))
     step = make_dist_lba_step(mesh, CAM)
-    prob = problem
+    prob = bucket_problem_by_owner(problem, 4).problem
     c0 = float(lba.lba_cost(prob, CAM))
     lam = jnp.asarray(1e-4)
     for _ in range(6):
@@ -103,6 +142,40 @@ def test_dist_lba_converges(problem):
     assert c1 < 0.2 * c0, (c0, c1)
 
 
+def _all_reduce_bytes(compiled_text: str) -> int:
+    """Sum the output bytes of every all-reduce in an HLO dump."""
+    total = 0
+    for line in compiled_text.splitlines():
+        if " all-reduce(" not in line and " all-reduce-start(" not in line:
+            continue
+        lhs = line.split(" all-reduce")[0]
+        for m in re.finditer(r"(f32|s32|u32)\[([\d,]*)\]", lhs):
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            n = 1
+            for d in dims:
+                n *= d
+            total += 4 * n
+    return total
+
+
+def test_comm_volume_independent_of_landmark_count():
+    """THE sharded-map contract: per-step all-reduce volume must not
+    grow with the landmark count (the round-1 design psummed dense
+    O(W*P) blocks). Verified on the compiled HLO."""
+    mesh = make_mesh(4, axes=("lm",))
+    step = make_dist_lba_step(mesh, CAM)
+    lam = jnp.asarray(1e-4)
+    vols = []
+    for Psz in (64, 256):
+        prob, *_ = make_lba_problem(jax.random.PRNGKey(7), W=4, P=Psz,
+                                    Q=16, noise_px=0.3)
+        b = bucket_problem_by_owner(_pad_problem(prob), 4)
+        txt = step.lower(b.problem, lam).compile().as_text()
+        vols.append(_all_reduce_bytes(txt))
+    assert vols[0] == vols[1], vols            # independent of P
+    assert 0 < vols[0] <= 4 * comm_bytes_per_step(W=4), vols
+
+
 def test_dp_windows_match_per_window_steps():
     """Data-parallel windows on the (kf, lm) mesh: two independent LBA
     windows batched over the 'kf' axis must produce the same steps as
@@ -112,7 +185,8 @@ def test_dp_windows_match_per_window_steps():
     for seed in (5, 11):
         p, *_ = make_lba_problem(jax.random.PRNGKey(seed), W=4, P=64,
                                  Q=16, noise_px=0.3)
-        probs.append(_pad_problem(p, k_mult=4, q_mult=4))
+        probs.append(bucket_problem_by_owner(
+            _pad_problem(p, k_mult=4, q_mult=8), 4).problem)
     batched = jax.tree_util.tree_map(lambda *x: jnp.stack(x), *probs)
 
     lam = jnp.asarray(1e-4)
