@@ -382,6 +382,60 @@ def remove_redundant_kfs(state: MapState, cfg: SlamConfig) -> Tuple[MapState, jn
     return new_state, do.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_retire"))
+def remove_redundant_kfs_global(state: MapState, cfg: SlamConfig,
+                                max_retire: int = 4
+                                ) -> Tuple[MapState, jnp.ndarray]:
+    """GLOBAL redundant-KF sweep (the reference's removeRedundantKFs
+    scans covisible KFs anywhere in the map, not just the local window —
+    the window-local pass never retires old KFs once the trajectory
+    moves on). Retires up to ``max_retire`` KFs per call, most-redundant
+    first. The observer threshold (6) is stricter than the window pass's
+    4 so that jointly-retired KFs cannot drag each other's landmarks
+    below the culling floor. Returns (state, n_removed)."""
+    m = cfg.mapping
+    F = state.kf_pose.shape[0]
+    newest = state.n_kfs - 1
+    slots_arr = jnp.arange(F)
+
+    lm = state.obs_pt_lm                                     # (F, K)
+    ok = lm >= 0
+    nobs = take_mxu(state.pt_nobs, jnp.maximum(lm, 0))       # (F, K)
+    well = ok & (nobs >= 6)
+    frac = jnp.sum(well, axis=1) / jnp.maximum(jnp.sum(ok, axis=1), 1)
+    removable = ((frac > m.max_common_fts_kf) & state.kf_valid
+                 & (slots_arr > 0) & (slots_arr != newest)
+                 & (slots_arr < state.n_kfs))
+    vals, cand = jax.lax.top_k(jnp.where(removable, frac, -1.0), max_retire)
+    do = vals > 0
+
+    kf_valid = state.kf_valid
+    pt_nobs = state.pt_nobs
+    ln_nobs = state.ln_nobs
+    obs_pt_lm = state.obs_pt_lm
+    obs_ln_lm = state.obs_ln_lm
+    P = state.pt_pos.shape[0]
+    M = state.ln_spos.shape[0]
+    for j in range(max_retire):
+        slot = cand[j]
+        lm_r = obs_pt_lm[slot]
+        dec = jnp.where((lm_r >= 0) & do[j], lm_r, P)
+        pt_nobs = pt_nobs.at[dec].add(-1, mode="drop")
+        llm_r = obs_ln_lm[slot]
+        ldec = jnp.where((llm_r >= 0) & do[j], llm_r, M)
+        ln_nobs = ln_nobs.at[ldec].add(-1, mode="drop")
+        obs_pt_lm = obs_pt_lm.at[slot].set(
+            jnp.where(do[j], jnp.full_like(lm_r, -1), lm_r))
+        obs_ln_lm = obs_ln_lm.at[slot].set(
+            jnp.where(do[j], jnp.full_like(llm_r, -1), llm_r))
+        kf_valid = kf_valid.at[slot].set(
+            jnp.where(do[j], False, kf_valid[slot]))
+    new_state = state._replace(kf_valid=kf_valid, pt_nobs=pt_nobs,
+                               ln_nobs=ln_nobs, obs_pt_lm=obs_pt_lm,
+                               obs_ln_lm=obs_ln_lm)
+    return new_state, jnp.sum(do)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def fuse_loop_landmarks(state: MapState, slot_a: jnp.ndarray,
                         slot_b: jnp.ndarray, cfg: SlamConfig

@@ -26,7 +26,8 @@ from plslam_tpu.core import lie
 from plslam_tpu.core.camera import StereoCamera
 from plslam_tpu.backend import lba
 from plslam_tpu.backend.map import (MapState, add_keyframe, cull_landmarks,
-                                    init_map_state, remove_redundant_kfs)
+                                    init_map_state, remove_redundant_kfs,
+                                    remove_redundant_kfs_global)
 
 
 def _compact_landmarks(valid, last_kf, start, cap: int):
@@ -143,6 +144,15 @@ def mapping_step(state: MapState, pts, lns, T_w_kf, cam: StereoCamera,
         state, c0, c1, lba_diag = run_window_lba(state, cam, cfg)
         diag = {**diag, **lba_diag}
         state, _ = remove_redundant_kfs(state, cfg)
+        every = cfg.mapping.global_kf_sweep_every
+        if every > 0:
+            # periodic GLOBAL sweep: old redundant KFs outside the window
+            # are retired too (removeRedundantKFs scans covisible KFs
+            # globally in the reference)
+            state = jax.lax.cond(
+                jnp.mod(state.n_kfs, every) == 0,
+                lambda s: remove_redundant_kfs_global(s, cfg)[0],
+                lambda s: s, state)
     state = cull_landmarks(state, cfg)
     return state, diag, c0, c1
 

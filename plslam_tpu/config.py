@@ -59,6 +59,14 @@ class LineFeatureConfig:
                                     # detect on a 2x-downsampled image —
                                     # ~4x cheaper, coarser endpoints
     tile: int = 16                  # tile size for the tile-fit detector
+    scale_levels: int = 2           # scale-space detection levels (ref:
+                                    # LSDDetector::detect runs LSD on a
+                                    # Gaussian pyramid): level 2 = a
+                                    # half-res pass fused by collinear
+                                    # merge, catching long blurred /
+                                    # low-contrast structures whose
+                                    # gradients are too diffuse at full
+                                    # resolution. 1 = single-scale.
     min_line_length: float = 0.025  # fraction of image diagonal (ref: min_line_length)
     grad_th: float = 5.3            # gradient magnitude threshold (~LSD quant)
     anisotropy_th: float = 0.85     # structure-tensor anisotropy gate
@@ -183,6 +191,10 @@ class MappingConfig:
     desc_ring: int = 4              # per-landmark descriptor history size
     view_cos_th: float = 0.5        # min cos(view angle) for map matching
     max_common_fts_kf: float = 0.9  # redundant-KF cull threshold
+    global_kf_sweep_every: int = 8  # run the GLOBAL redundant-KF sweep
+                                    # every this many KFs (0 = never);
+                                    # the per-KF pass only scans the
+                                    # local window
     lambda_init: float = 1e-3       # LM damping init for LBA
     lambda_factor: float = 3.0
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from plslam_tpu.config import SlamConfig
@@ -59,6 +60,27 @@ def detect_and_describe_lines(img: jnp.ndarray, cfg: SlamConfig
             merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
             merge_gap_th=l.merge_gap_th,
             min_length=l.min_line_length * diag)
+        if l.scale_levels > 1:
+            # scale-space detection (LSDDetector::detect pyramid parity):
+            # a second pass on the half-res image catches long blurred /
+            # low-contrast structures whose gradients are too diffuse to
+            # cohere at full resolution; the two sets fuse by collinear
+            # merge, so a line found at both scales survives once
+            from plslam_tpu.ops.image import resize_bilinear
+            small = resize_bilinear(img, (H // 2, W // 2))
+            coarse = lines.detect_segments(
+                small, max_lines=l.max_lines, tile=l.tile,
+                grad_th=l.grad_th / 255.0 * 0.5,
+                min_support=l.min_support * l.fld_support_scale,
+                elong_th=l.elong_th * l.fld_elong_scale,
+                perp_spread_th=l.perp_spread_th,
+                coherence_th=l.coherence_th,
+                merge_iters=max(l.merge_iters * 3, 8),
+                merge_ang_th=l.merge_ang_th, merge_dist_th=l.merge_dist_th,
+                merge_gap_th=l.merge_gap_th * l.fld_gap_scale,
+                min_length=l.min_line_length * diag * 0.5)
+            coarse = coarse._replace(sp=coarse.sp * 2.0, ep=coarse.ep * 2.0)
+            segs = _fuse_levels(segs, coarse, l)
     if l.lbd_half_res:
         from plslam_tpu.ops.image import resize_bilinear
         small = resize_bilinear(img, (H // 2, W // 2))
@@ -77,6 +99,46 @@ def detect_and_describe_lines(img: jnp.ndarray, cfg: SlamConfig
                                   samples_per_band=l.lbd_band_samples,
                                   gx=gx, gy=gy)
     return segs, desc
+
+
+def _fuse_levels(fine: lines.Segments, coarse: lines.Segments,
+                 l) -> lines.Segments:
+    """Fuse two pyramid levels: the fine level keeps its (precise)
+    endpoints; a coarse segment is ADDED only where no collinear
+    overlapping fine segment already covers it — the pyramid's job is
+    recall on structures the full-res pass misses, not re-estimating
+    ones it found."""
+    # coarse i covered by fine j: similar angle, small perpendicular
+    # offset, and overlapping projection intervals on coarse's direction
+    dang = jnp.abs(coarse.angle[:, None] - fine.angle[None, :])
+    dang = jnp.minimum(dang, jnp.pi - dang)
+    dc = coarse.ep - coarse.sp
+    length_c = jnp.maximum(jnp.linalg.norm(dc, axis=-1), 1e-6)
+    u = dc / length_c[:, None]
+    nrm = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)
+    mid_c = 0.5 * (coarse.sp + coarse.ep)
+    mid_f = 0.5 * (fine.sp + fine.ep)
+    rel = mid_f[None, :, :] - mid_c[:, None, :]
+    off = jnp.abs(jnp.einsum("ik,ijk->ij", nrm, rel))
+    proj = jnp.einsum("ik,ijk->ij", u, rel)
+    len_f = jnp.linalg.norm(fine.ep - fine.sp, axis=-1)
+    overlap = (jnp.abs(proj)
+               < 0.5 * (length_c[:, None] + len_f[None, :]))
+    covered = jnp.any((dang < 2 * l.merge_ang_th)
+                      & (off < 2.5 * l.merge_dist_th) & overlap
+                      & fine.valid[None, :], axis=1)
+    keep_c = coarse.valid & ~covered
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+    # half-res support mass counts ~1/4 the pixels; rescale for ranking
+    score = cat(jnp.where(fine.valid, fine.score, -1.0),
+                jnp.where(keep_c, 4.0 * coarse.score, -1.0))
+    top = jax.lax.top_k(score, l.max_lines)[1]
+    sp = cat(fine.sp, coarse.sp)[top]
+    ep = cat(fine.ep, coarse.ep)[top]
+    ang = cat(fine.angle, coarse.angle)[top]
+    sc = score[top]
+    return lines.Segments(sp=sp, ep=ep, angle=ang,
+                          score=jnp.maximum(sc, 0.0), valid=sc > 0)
 
 
 def seg_y_overlap(sp_a, ep_a, sp_b, ep_b) -> jnp.ndarray:

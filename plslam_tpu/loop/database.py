@@ -11,25 +11,23 @@ consistency voting as in the reference.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from plslam_tpu.config import SlamConfig
-from plslam_tpu.loop.vocabulary import Vocabulary, bow_vector, l1_score
-
-
-@partial(jax.jit, static_argnames=())
-def _scores(bows: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """(F, D) database vs (D,) query -> (F,) L1 scores."""
-    return l1_score(bows, q[None, :])
+from plslam_tpu.loop.vocabulary import Vocabulary
 
 
 class BowDatabase:
-    """Host wrapper over device BoW matrices for points and lines."""
+    """Device BoW state for the loop closer: the two vocabularies plus
+    the dense (F, n_leaves) BoW matrices for points and lines.
+
+    The insert/query WORK happens inside the fused per-KF probe
+    (loop.loop_closer.probe_core — insertKFBowVectorP/L + the database
+    matvec in one program); this class only owns the state those
+    programs thread through."""
 
     def __init__(self, cfg: SlamConfig, voc_p: Vocabulary,
                  voc_l: Optional[Vocabulary] = None):
@@ -40,32 +38,6 @@ class BowDatabase:
         self.bows_p = jnp.zeros((F, voc_p.n_leaves), jnp.float32)
         self.bows_l = (jnp.zeros((F, voc_l.n_leaves), jnp.float32)
                        if voc_l is not None else None)
-        self._bow_p_jit = jax.jit(lambda d, v: bow_vector(self.voc_p, d, v))
-        self._bow_l_jit = (jax.jit(lambda d, v: bow_vector(self.voc_l, d, v))
-                           if voc_l is not None else None)
-
-    def insert(self, slot: int, desc_p: jnp.ndarray, valid_p: jnp.ndarray,
-               desc_l: Optional[jnp.ndarray] = None,
-               valid_l: Optional[jnp.ndarray] = None) -> None:
-        """insertKFBowVectorP/L parity."""
-        v = self._bow_p_jit(desc_p, valid_p)
-        self.bows_p = self.bows_p.at[slot].set(v)
-        if self.bows_l is not None and desc_l is not None:
-            vl = self._bow_l_jit(desc_l, valid_l)
-            self.bows_l = self.bows_l.at[slot].set(vl)
-
-    def query(self, slot: int, n_kfs: int) -> np.ndarray:
-        """Fused similarity of KF ``slot`` vs all earlier KFs -> (F,) np.
-
-        Scores for slots >= n_kfs or == slot are zeroed.
-        """
-        s = _scores(self.bows_p, self.bows_p[slot])
-        if self.bows_l is not None:
-            s = 0.5 * (s + _scores(self.bows_l, self.bows_l[slot]))
-        s = np.array(s)  # mutable host copy
-        s[slot:] = 0.0
-        s[n_kfs:] = 0.0
-        return s
 
 
 class LoopCandidate(NamedTuple):

@@ -119,3 +119,32 @@ def test_viz_renders(tmp_path):
     img = np.zeros((40, 60), np.float32)
     over = draw_features(img)
     assert over.shape == (40, 60, 3)
+
+
+def test_remove_redundant_kfs_global_sweeps_old_kfs():
+    """The global sweep retires redundant KFs OUTSIDE the local window
+    (the window pass never reaches them on long sequences)."""
+    from plslam_tpu.backend.map import remove_redundant_kfs_global
+    state = init_map_state(CFG)
+    K = CFG.points.max_kpts
+    lm_ids = jnp.arange(32, dtype=jnp.int32)
+    obs_row = jnp.full((K,), -1, jnp.int32).at[:32].set(lm_ids)
+    # 12 KFs; KFs 1-3 are far OUTSIDE the window (window 4+1 over n=12)
+    # and observe the same heavily-observed landmarks
+    state = state._replace(
+        n_kfs=jnp.asarray(12),
+        kf_valid=state.kf_valid.at[:12].set(True),
+        pt_valid=state.pt_valid.at[:32].set(True),
+        pt_nobs=state.pt_nobs.at[:32].set(12),
+        obs_pt_lm=state.obs_pt_lm.at[:12].set(
+            jnp.broadcast_to(obs_row, (12, K))))
+    # the window pass cannot retire KF 1-3 (outside last window_kfs)
+    state_w, _ = remove_redundant_kfs(state, CFG)
+    assert bool(state_w.kf_valid[1]) and bool(state_w.kf_valid[2])
+    # the global sweep can — up to max_retire per call, never 0 / newest
+    state_g, removed = remove_redundant_kfs_global(state, CFG)
+    assert int(removed) == 4
+    assert bool(state_g.kf_valid[0]) and bool(state_g.kf_valid[11])
+    assert int(jnp.sum(state_g.kf_valid[:12])) == 8
+    # observation counters decremented once per retired observer
+    assert int(state_g.pt_nobs[0]) == 8
