@@ -22,8 +22,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
-from plslam_tpu.core import lie
-import jax.numpy as jnp
 
 
 class Degradation(NamedTuple):
@@ -110,6 +108,28 @@ def make_world(rng: np.random.Generator, n_points: int = 300, n_lines: int = 60,
                           ep.astype(np.float32), seeds)
 
 
+def _exp_se3_np(xi: np.ndarray) -> np.ndarray:
+    """Pure-numpy SE(3) exponential (v, w ordering as core.lie): scene
+    generation is host-side and must not touch the device — per-frame
+    jnp round trips made every test/bench start pay ~200 tunnel RPCs."""
+    v, w = xi[:3].astype(np.float64), xi[3:].astype(np.float64)
+    th = np.linalg.norm(w)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-9:
+        R = np.eye(3) + K
+        V = np.eye(3) + 0.5 * K
+    else:
+        A = np.sin(th) / th
+        B = (1 - np.cos(th)) / th ** 2
+        C = (1 - A) / th ** 2
+        R = np.eye(3) + A * K + B * (K @ K)
+        V = np.eye(3) + B * K + C * (K @ K)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ v
+    return T.astype(np.float32)
+
+
 def make_trajectory(n_frames: int, kind: str = "forward", step: float = 0.15,
                     yaw_rate: float = 0.0, rng: Optional[np.random.Generator] = None
                     ) -> np.ndarray:
@@ -132,8 +152,7 @@ def make_trajectory(n_frames: int, kind: str = "forward", step: float = 0.15,
             jitter = np.concatenate([rng.normal(0, 0.004, 3),
                                      rng.normal(0, 0.0015, 3)]).astype(np.float32)
         xi = np.array([0, 0, step, 0, yaw_rate, 0], np.float32) + jitter
-        dT = np.asarray(lie.exp_se3(jnp.asarray(xi)))
-        T = (T @ dT).astype(np.float32)
+        T = (T @ _exp_se3_np(xi)).astype(np.float32)
     return poses
 
 
