@@ -126,19 +126,23 @@ def main() -> None:
             "ms_per_window_solve": round(dt * 1e3, 2)}))
         return
 
-    # dist: device-count sweep of the sharded Schur step on the CPU mesh
+    # dist: device-count sweep of the owner-sharded Schur step on the CPU
+    # mesh (the map itself is sharded; per-step all-reduce volume is
+    # independent of map size — see parallel/dist_lba.py)
     from plslam_tpu.parallel.mesh import make_mesh
-    from plslam_tpu.parallel.dist_lba import make_dist_lba_step
+    from plslam_tpu.parallel.dist_lba import (bucket_problem_by_owner,
+                                              make_dist_lba_step)
     lam = jnp.asarray(cfg.mapping.lambda_init)
     for n_dev in (1, 2, 4, 8):
         mesh = make_mesh(n_dev, axes=("lm",))
         step = make_dist_lba_step(mesh, cam)
-        out = step(prob, lam)
+        b = bucket_problem_by_owner(prob, n_dev)
+        out = step(b.problem, lam)
         jax.device_get(out[0])
         reps = 5
         t0 = time.perf_counter()
         for r in range(reps):
-            p = prob._replace(pt_pos=prob.pt_pos + 1e-6 * r)
+            p = b.problem._replace(pt_pos=b.problem.pt_pos + 1e-6 * r)
             jax.device_get(step(p, lam)[0])
         dt = (time.perf_counter() - t0) / reps
         print(json.dumps({"devices": n_dev,
