@@ -148,3 +148,109 @@ def test_remove_redundant_kfs_global_sweeps_old_kfs():
     assert int(jnp.sum(state_g.kf_valid[:12])) == 8
     # observation counters decremented once per retired observer
     assert int(state_g.pt_nobs[0]) == 8
+
+
+def test_fuse_loop_line_landmarks():
+    """Line landmarks fuse after a loop too (loopClosureFuseLandmarks
+    fuses BOTH families in the reference)."""
+    from plslam_tpu.ops import hamming
+    rng = np.random.default_rng(1)
+    state = init_map_state(CFG)
+    L = CFG.lines.max_lines
+    desc = rng.integers(0, 2, (L, 256)).astype(np.uint8)
+    sp = rng.uniform(-3, 3, (6, 3)).astype(np.float32)
+    ep = sp + rng.uniform(0.5, 1.5, (6, 3)).astype(np.float32)
+    state = state._replace(
+        n_kfs=jnp.asarray(2),
+        kf_valid=state.kf_valid.at[:2].set(True),
+        ln_valid=state.ln_valid.at[:6].set(True).at[10:16].set(True),
+        ln_spos=state.ln_spos.at[:6].set(jnp.asarray(sp)).at[10:16].set(
+            jnp.asarray(sp + 0.01)),
+        ln_epos=state.ln_epos.at[:6].set(jnp.asarray(ep)).at[10:16].set(
+            jnp.asarray(ep + 0.01)),
+        ln_nobs=state.ln_nobs.at[:6].set(2).at[10:16].set(1),
+        obs_ln_lm=state.obs_ln_lm
+            .at[0, :6].set(jnp.arange(6, dtype=jnp.int32))
+            .at[1, :6].set(jnp.arange(10, 16, dtype=jnp.int32)),
+        kf_ln_desc=state.kf_ln_desc
+            .at[0].set(hamming.pack_bits(jnp.asarray(desc)))
+            .at[1].set(hamming.pack_bits(jnp.asarray(desc))))
+    state2, n_fused = fuse_loop_landmarks(
+        state, jnp.asarray(0), jnp.asarray(1), CFG)
+    assert int(n_fused) == 6
+    assert int(jnp.sum(state2.ln_valid[10:16])) == 0
+    np.testing.assert_array_equal(np.asarray(state2.obs_ln_lm[1, :6]),
+                                  np.arange(6))
+    assert int(state2.ln_nobs[0]) == 3
+
+
+def test_loop_verification_from_lines_only():
+    """isLoopClosure parity: the geometric verification must succeed on
+    LBD line matches alone (the reference BF-matches ORB AND LBD; a
+    texture-poor revisit can be line-only)."""
+    from plslam_tpu.loop.loop_closer import verify_loop_geometry
+    from plslam_tpu.core.camera import StereoCamera
+    from plslam_tpu.core import lie
+    from plslam_tpu.ops import hamming
+    from plslam_tpu.frontend.features import line_equation
+
+    cfg = CFG.with_updates({"loop": {"lc_inl": 10},
+                            "tracking": {"min_features": 8}})
+    cam = StereoCamera.from_config(cfg.camera)
+    rng = np.random.default_rng(2)
+    K = cfg.points.max_kpts
+    L = cfg.lines.max_lines
+
+    # 3D line endpoints in KF a's camera frame
+    n_ln = 14
+    sP = np.stack([rng.uniform(-4, 4, n_ln), rng.uniform(-2, 2, n_ln),
+                   rng.uniform(6, 18, n_ln)], -1).astype(np.float32)
+    eP = sP + rng.uniform(-2, 2, (n_ln, 3)).astype(np.float32)
+    eP[:, 2] = np.maximum(eP[:, 2], 4.0)
+    # KF a stores raw pixel endpoints + disparities
+    def proj(P):
+        return np.stack([cam.fx * P[:, 0] / P[:, 2] + cam.cx,
+                         cam.fy * P[:, 1] / P[:, 2] + cam.cy], -1)
+    sp_a, ep_a = proj(sP), proj(eP)
+    sd = np.asarray(cam.fx * cam.b) / sP[:, 2]
+    ed = np.asarray(cam.fx * cam.b) / eP[:, 2]
+    ends_a = np.zeros((L, 6), np.float32)
+    ends_a[:n_ln] = np.concatenate(
+        [sp_a, ep_a, sd[:, None], ed[:, None]], -1)
+
+    # KF b sees the same lines from a rotated+translated pose
+    T_ab = np.asarray(lie.exp_se3(jnp.asarray(
+        [0.3, -0.1, 0.4, 0.02, 0.08, -0.03])), np.float32)
+    sP_b = sP @ T_ab[:3, :3].T + T_ab[:3, 3]
+    eP_b = eP @ T_ab[:3, :3].T + T_ab[:3, 3]
+    sp_b, ep_b = proj(sP_b), proj(eP_b)
+    le_b = np.asarray(line_equation(jnp.asarray(sp_b), jnp.asarray(ep_b)))
+    ends_b = np.zeros((L, 6), np.float32)
+    ends_b[:n_ln] = np.concatenate(
+        [sp_b, ep_b,
+         (np.asarray(cam.fx * cam.b) / sP_b[:, 2])[:, None],
+         (np.asarray(cam.fx * cam.b) / eP_b[:, 2])[:, None]], -1)
+    le_full = np.zeros((L, 3), np.float32)
+    le_full[:n_ln] = le_b[:n_ln]
+
+    desc = rng.integers(0, 2, (L, 256)).astype(np.uint8)
+    ln_desc = np.asarray(hamming.pack_bits(jnp.asarray(desc)))
+
+    # point channel empty: zero disparities invalidate every point
+    pt_desc = np.zeros((K, 8), np.uint32)
+    uv = np.zeros((K, 2), np.float32)
+    disp = np.zeros((K,), np.float32)
+
+    res, n_matches = verify_loop_geometry(
+        jnp.asarray(pt_desc), jnp.asarray(uv), jnp.asarray(disp),
+        jnp.asarray(pt_desc), jnp.asarray(uv),
+        jnp.asarray(ln_desc), jnp.asarray(ends_a),
+        jnp.asarray(ln_desc), jnp.asarray(ends_b),
+        jnp.asarray(le_full), cam, cfg)
+    assert int(n_matches) >= n_ln
+    assert bool(res.good)
+    # recovered relative pose matches the ground truth
+    err = np.asarray(lie.log_se3(jnp.asarray(
+        np.linalg.inv(T_ab) @ np.asarray(res.T))))
+    assert np.linalg.norm(err[:3]) < 0.05, err
+    assert np.linalg.norm(err[3:]) < 0.01, err
