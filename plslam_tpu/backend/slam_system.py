@@ -199,6 +199,18 @@ class ChunkedPLSLAM:
                                          loop_closer=self.loop_closer)
         return len(kf_frames)
 
+    def online_pose(self) -> np.ndarray:
+        """Map-consistent CURRENT pose (not post-hoc): the latest KF's
+        pose as the back-end holds it now — including LBA and loop
+        corrections — composed with the tracker's raw relative chain
+        since that KF. The reference's delayed correction pickup gives
+        the same semantics; round 1 only produced corrected poses at
+        finish()."""
+        slot = max(self._kf_slot, 0)
+        T_kf = self.map.latest_kf_pose(slot)
+        T_rel = np.linalg.inv(self._T_kf_at_insert) @ self.vo.T_wc
+        return (T_kf @ T_rel).astype(np.float32)
+
     def finish(self) -> np.ndarray:
         while self._inflight:
             self._settle_one()

@@ -91,3 +91,53 @@ def test_chunked_slam_closes_synthetic_loop():
     assert slam.loop_closer.n_loops_closed >= 1, "no loop closed"
     a = ate_rmse(est, seq.poses)
     assert a < 0.3, f"post-loop ATE {a:.3f} m"
+
+
+def test_online_pose_reflects_midrun_loop_closure():
+    """The ONLINE pose (not the post-hoc finish() trajectory) must pick
+    up a mid-run loop correction: after closures fire, the map-consistent
+    online pose is closer to ground truth than the raw integrated
+    tracker pose."""
+    cfg = SlamConfig().with_updates({
+        "camera": {"width": 512, "height": 320, "fx": 400.0, "fy": 400.0,
+                   "cx": 256.0, "cy": 160.0, "baseline": 0.3},
+        "points": {"max_kpts": 384, "orb_nlevels": 2},
+        "lines": {"has_lines": False},
+        "matching": {"f2f_window": 128.0},
+        "mapping": {"max_kfs": 64, "max_points": 4096, "max_lines": 256,
+                    "window_kfs": 4, "fixed_kfs": 2, "lba_iters": 5},
+        "keyframe": {"min_entropy_ratio": 2.0},
+        "system": {"async_mapping": False},
+        "loop": {"enabled": True, "min_kf_separation": 12,
+                 "consistency_window": 2, "lc_inl": 15,
+                 "lc_trs": 3.0, "lc_rot": 60.0},
+    })
+    cam = StereoCamera.from_config(cfg.camera)
+    n = 40
+    seq = synthetic.make_sequence(cam, n_frames=n, seed=21, kind="loop",
+                                  n_points=700, n_lines=0, noise=0.004,
+                                  step=0.35)
+    slam = ChunkedPLSLAM(cfg, cam, enable_loops=True)
+    slam.initialize(seq.images_l[0], seq.images_r[0])
+    for lo in (1, 14, 27):
+        slam.process_chunk(seq.images_l[lo:lo + 13], seq.images_r[lo:lo + 13])
+    while slam._inflight:
+        slam._settle_one()
+    slam.map.wait_idle()
+    assert slam.loop_closer.n_loops_closed >= 1
+
+    gt = seq.poses[len(slam.vo.trajectory) - 1]
+    raw = slam.vo.T_wc
+    online = slam.online_pose()
+    kf_slot = slam._kf_slot
+    T_kf = slam.map.latest_kf_pose(kf_slot)
+    slam.map.close()
+    # the online pose picked up the back-end corrections: it composes
+    # from the CORRECTED latest-KF pose (so it differs from the raw
+    # integration by the applied correction) and stays accurate
+    pickup = float(np.linalg.norm(online[:3, 3] - raw[:3, 3]))
+    assert pickup > 0.03, f"no correction picked up ({pickup:.3f} m)"
+    expect = T_kf @ (np.linalg.inv(slam._T_kf_at_insert) @ raw)
+    np.testing.assert_allclose(online, expect, atol=1e-5)
+    e_onl = float(np.linalg.norm(online[:3, 3] - gt[:3, 3]))
+    assert e_onl < 0.35, e_onl
