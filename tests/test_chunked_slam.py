@@ -141,3 +141,32 @@ def test_online_pose_reflects_midrun_loop_closure():
     np.testing.assert_allclose(online, expect, atol=1e-5)
     e_onl = float(np.linalg.norm(online[:3, 3] - gt[:3, 3]))
     assert e_onl < 0.35, e_onl
+
+
+def test_concurrent_multi_sequence_sessions():
+    """Staged config 5 (concurrent sequences): two independent SLAM
+    sessions interleaved chunk-by-chunk must each produce an accurate
+    trajectory — maps, workers and loop state fully isolated."""
+    from plslam_tpu.apps.plslam_multiseq import run_concurrent
+    from plslam_tpu.utils.evaluation import ate_rmse
+    cfg = SlamConfig().with_updates({
+        "camera": {"width": 512, "height": 320, "fx": 400.0, "fy": 400.0,
+                   "cx": 256.0, "cy": 160.0, "baseline": 0.3},
+        "points": {"max_kpts": 384, "orb_nlevels": 2},
+        "lines": {"has_lines": False},
+        "matching": {"f2f_window": 128.0},
+        "mapping": {"max_kfs": 32, "max_points": 4096, "max_lines": 256,
+                    "window_kfs": 4, "fixed_kfs": 2, "lba_iters": 5},
+        "loop": {"enabled": False},
+    })
+    cam = StereoCamera.from_config(cfg.camera)
+    seqs = [synthetic.make_sequence(cam, n_frames=17, seed=30 + s,
+                                    kind="forward", n_points=400,
+                                    n_lines=0, noise=0.004, step=0.2)
+            for s in range(2)]
+    slams = [ChunkedPLSLAM(cfg, cam, enable_loops=False) for _ in range(2)]
+    trajs = run_concurrent(slams, seqs, chunk=8)
+    for traj, seq in zip(trajs, seqs):
+        assert len(traj) == 17
+        a = float(ate_rmse(traj, seq.poses[:len(traj)]))
+        assert a < 0.08, a
