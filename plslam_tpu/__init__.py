@@ -15,19 +15,28 @@ Reference parity map (upstream component -> module here):
   stvo-pl/src/dataset.cpp             -> plslam_tpu.io.dataset
   stvo-pl/src/stereoFrame.cpp         -> plslam_tpu.frontend.stereo_frame
   stvo-pl/src/stereoFeatures.h        -> plslam_tpu.frontend.features
-  stvo-pl/src/matching.cpp            -> plslam_tpu.ops.hamming / frontend.matching
-  stvo-pl/src/gridStructure.cpp       -> plslam_tpu.frontend.grid
+  stvo-pl/src/matching.cpp            -> plslam_tpu.ops.hamming
+  stvo-pl/src/gridStructure.cpp       -> ops.hamming.window_mask +
+                                         ops.fast.select_topk_grid
   stvo-pl/src/stereoFrameHandler.cpp  -> plslam_tpu.tracking.frame_handler
+                                         / tracking.pose_gn
   3rdparty/line_descriptor (LSD/LBD)  -> plslam_tpu.ops.lines / ops.lbd
-  pl-slam/src/mapHandler.cpp          -> plslam_tpu.backend.map_handler
-  pl-slam/src/mapFeatures.cpp         -> plslam_tpu.backend.landmarks
-  pl-slam/src/keyFrame.cpp            -> plslam_tpu.backend.keyframe
+  pl-slam/src/mapHandler.cpp          -> plslam_tpu.backend.map /
+                                         backend.map_handler / backend.lba
+                                         / backend.chunk_backend
+  pl-slam/src/mapFeatures.cpp         -> plslam_tpu.backend.map (landmark
+                                         arrays, medoid descriptors,
+                                         view-direction gating)
+  pl-slam/src/keyFrame.cpp            -> KF slots in backend.map.MapState
   3rdparty/DBoW2                      -> plslam_tpu.loop.vocabulary / loop.database
   g2o pose graph                      -> plslam_tpu.loop.pose_graph
   app/plslam_dataset.cpp              -> plslam_tpu.apps.plslam_dataset
   app/plstvo_dataset.cpp              -> plslam_tpu.apps.plstvo_dataset
-  (new, no reference equivalent)      -> plslam_tpu.parallel (distributed BA,
-                                         sharded vocabulary retrieval)
+  (new, no reference equivalent)      -> plslam_tpu.parallel (owner-sharded
+                                         distributed BA, multi-host bring-up,
+                                         sharded vocabulary retrieval),
+                                         apps.plslam_multiseq (concurrent
+                                         sessions), backend.checkpoint
 """
 
 __version__ = "0.1.0"
