@@ -36,20 +36,22 @@ import numpy as np
 REFERENCE_FPS = 22.5  # PL-SLAM paper CPU rate (midpoint of 15-30; UNVERIFIED)
 
 
-def run_guarded(attempts: int = 3, timeout: float = 900.0) -> bool:
-    """Run this benchmark in a fresh child process with a timeout,
+def run_guarded(script: str = None, attempts: int = 3,
+                timeout: float = 900.0, label: str = "bench") -> bool:
+    """Run a benchmark script in a fresh child process with a timeout,
     retrying on hangs. This rig's tunnel to the chip intermittently
     wedges a device fetch forever (observed on trivial ops, not just
     ours); a wedged child must not zero the recorded benchmark. Returns
     True once a JSON line was printed."""
     env = dict(os.environ, PLSLAM_BENCH_INNER="1")
+    script = script or os.path.abspath(__file__)
     for k in range(attempts):
         try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+            r = subprocess.run([sys.executable, script],
                                env=env, timeout=timeout,
                                capture_output=True, text=True)
         except subprocess.TimeoutExpired:
-            print(f"[bench] attempt {k + 1} timed out (tunnel wedge); "
+            print(f"[{label}] attempt {k + 1} timed out (tunnel wedge); "
                   f"retrying", file=sys.stderr)
             continue
         line = [ln for ln in r.stdout.splitlines()
@@ -57,7 +59,7 @@ def run_guarded(attempts: int = 3, timeout: float = 900.0) -> bool:
         if r.returncode == 0 and line:
             print(line[-1])
             return True
-        print(f"[bench] attempt {k + 1} failed rc={r.returncode}:\n"
+        print(f"[{label}] attempt {k + 1} failed rc={r.returncode}:\n"
               f"{r.stderr[-2000:]}", file=sys.stderr)
     return False
 

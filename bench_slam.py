@@ -80,23 +80,7 @@ if __name__ == "__main__":
     else:
         # hang-guarded (this rig's tunnel can wedge a device fetch
         # forever; a wedged child must not zero the benchmark)
-        import subprocess
-        env = dict(os.environ, PLSLAM_BENCH_INNER="1")
-        ok = False
-        for k in range(3):
-            try:
-                r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                   env=env, timeout=1200,
-                                   capture_output=True, text=True)
-            except subprocess.TimeoutExpired:
-                print(f"[bench_slam] attempt {k + 1} timed out; retrying",
-                      file=sys.stderr)
-                continue
-            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
-            if r.returncode == 0 and line:
-                print(line[-1])
-                ok = True
-                break
-            print(f"[bench_slam] attempt {k + 1} failed rc={r.returncode}:\n"
-                  f"{r.stderr[-2000:]}", file=sys.stderr)
+        from bench import run_guarded
+        ok = run_guarded(os.path.abspath(__file__), timeout=1200.0,
+                         label="bench_slam")
         sys.exit(0 if ok else 1)

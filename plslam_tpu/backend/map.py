@@ -43,6 +43,9 @@ class MapState(NamedTuple):
     pt_last_kf: jnp.ndarray     # (P,) int32
     pt_first_kf: jnp.ndarray    # (P,) int32
     pt_desc_ring: jnp.ndarray   # (P, R, 8) uint32 — last R packed obs
+    pt_ring_n: jnp.ndarray      # (P,) int32 monotonic ring-write count
+                                #   (pt_nobs moves with retirement/fusion
+                                #    and must not drive the ring cursor)
     pt_dir: jnp.ndarray         # (P, 3) mean viewing direction (unit)
     # map lines (3D endpoint pairs)
     ln_spos: jnp.ndarray        # (M, 3)
@@ -53,6 +56,7 @@ class MapState(NamedTuple):
     ln_last_kf: jnp.ndarray
     ln_first_kf: jnp.ndarray
     ln_desc_ring: jnp.ndarray   # (M, R, 8) uint32
+    ln_ring_n: jnp.ndarray      # (M,) int32 monotonic ring-write count
     ln_dir: jnp.ndarray         # (M, 3)
     # per-KF observations (the sparse obs graph, dense-slotted)
     obs_pt_uv: jnp.ndarray      # (F, K, 2)
@@ -82,6 +86,7 @@ def init_map_state(cfg: SlamConfig) -> MapState:
         pt_last_kf=jnp.full((P,), -1, i32),
         pt_first_kf=jnp.full((P,), -1, i32),
         pt_desc_ring=jnp.zeros((P, m.desc_ring, 8), jnp.uint32),
+        pt_ring_n=jnp.zeros((P,), i32),
         pt_dir=jnp.zeros((P, 3), f32),
         ln_spos=jnp.zeros((M, 3), f32),
         ln_epos=jnp.zeros((M, 3), f32),
@@ -91,6 +96,7 @@ def init_map_state(cfg: SlamConfig) -> MapState:
         ln_last_kf=jnp.full((M,), -1, i32),
         ln_first_kf=jnp.full((M,), -1, i32),
         ln_desc_ring=jnp.zeros((M, m.desc_ring, 8), jnp.uint32),
+        ln_ring_n=jnp.zeros((M,), i32),
         ln_dir=jnp.zeros((M, 3), f32),
         obs_pt_uv=jnp.zeros((F, K, 2), f32),
         obs_pt_disp=jnp.zeros((F, K), f32),
@@ -206,14 +212,16 @@ def add_keyframe(state: MapState, pts: PointObservations,
     # new landmarks: descriptor ring starts at 0, direction = view dir
     vnew = _view_dirs(P_world, cam_center)
     pt_ring = state.pt_desc_ring.at[sidx, 0].set(pts_packed, mode="drop")
+    pt_ring_n = state.pt_ring_n.at[sidx].set(1, mode="drop")
     pt_dir = state.pt_dir.at[sidx].set(vnew, mode="drop")
 
     # refresh matched landmarks: nobs, last_kf, descriptor ring (medoid
     # recomputed below), running mean viewing direction
     midx = jnp.where(pt_matched, jnp.arange(P_slots), P_slots)
-    rpos = jnp.mod(state.pt_nobs, state.pt_desc_ring.shape[1])
+    rpos = jnp.mod(state.pt_ring_n, state.pt_desc_ring.shape[1])
     pt_ring = pt_ring.at[midx, rpos].set(pts_packed[feat_of_pt],
                                          mode="drop")
+    pt_ring_n = pt_ring_n.at[midx].add(1, mode="drop")
     dir_upd = (state.pt_dir * state.pt_nobs[:, None].astype(jnp.float32)
                + vdir_pt)
     dir_upd = dir_upd / jnp.maximum(
@@ -224,7 +232,7 @@ def add_keyframe(state: MapState, pts: PointObservations,
     # representative descriptor = ring medoid (median-descriptor parity);
     # recomputed for every active landmark — (P, R, R) popcounts, cheap
     pt_desc = jnp.where(pt_valid[:, None],
-                        hamming.unpack_bits(_medoid_desc(pt_ring, pt_nobs)),
+                        hamming.unpack_bits(_medoid_desc(pt_ring, pt_ring_n)),
                         state.pt_desc)
 
     # ---- lines ---------------------------------------------------------
@@ -270,11 +278,13 @@ def add_keyframe(state: MapState, pts: PointObservations,
         ln_last = state.ln_last_kf.at[lsidx].set(slot, mode="drop")
         lvnew = _view_dirs(0.5 * (sP_w + eP_w), cam_center)
         ln_ring = state.ln_desc_ring.at[lsidx, 0].set(lns_packed, mode="drop")
+        ln_ring_n = state.ln_ring_n.at[lsidx].set(1, mode="drop")
         ln_dir = state.ln_dir.at[lsidx].set(lvnew, mode="drop")
         lmidx = jnp.where(ln_matched, jnp.arange(M_slots), M_slots)
-        lrpos = jnp.mod(state.ln_nobs, state.ln_desc_ring.shape[1])
+        lrpos = jnp.mod(state.ln_ring_n, state.ln_desc_ring.shape[1])
         ln_ring = ln_ring.at[lmidx, lrpos].set(lns_packed[feat_of_ln],
                                                mode="drop")
+        ln_ring_n = ln_ring_n.at[lmidx].add(1, mode="drop")
         ldir_upd = (state.ln_dir * state.ln_nobs[:, None].astype(jnp.float32)
                     + vdir_ln)
         ldir_upd = ldir_upd / jnp.maximum(
@@ -284,7 +294,7 @@ def add_keyframe(state: MapState, pts: PointObservations,
         ln_last = ln_last.at[lmidx].set(slot, mode="drop")
         ln_desc = jnp.where(
             ln_valid[:, None],
-            hamming.unpack_bits(_medoid_desc(ln_ring, ln_nobs)),
+            hamming.unpack_bits(_medoid_desc(ln_ring, ln_ring_n)),
             state.ln_desc)
         obs_ln_le = state.obs_ln_le.at[slot].set(lns.le)
         obs_ln_lm = state.obs_ln_lm.at[slot].set(
@@ -303,7 +313,8 @@ def add_keyframe(state: MapState, pts: PointObservations,
         ln_desc, ln_valid = state.ln_desc, state.ln_valid
         ln_nobs, ln_last, ln_first = (state.ln_nobs, state.ln_last_kf,
                                       state.ln_first_kf)
-        ln_ring, ln_dir = state.ln_desc_ring, state.ln_dir
+        ln_ring, ln_ring_n, ln_dir = (state.ln_desc_ring, state.ln_ring_n,
+                                      state.ln_dir)
         obs_ln_le, obs_ln_lm = state.obs_ln_le, state.obs_ln_lm
         obs_ln_ends, kf_ln_desc = state.obs_ln_ends, state.kf_ln_desc
         n_ln_matched = jnp.asarray(0)
@@ -315,10 +326,10 @@ def add_keyframe(state: MapState, pts: PointObservations,
         n_kfs=state.n_kfs + 1,
         pt_pos=pt_pos, pt_desc=pt_desc, pt_valid=pt_valid, pt_nobs=pt_nobs,
         pt_last_kf=pt_last, pt_first_kf=pt_first,
-        pt_desc_ring=pt_ring, pt_dir=pt_dir,
+        pt_desc_ring=pt_ring, pt_ring_n=pt_ring_n, pt_dir=pt_dir,
         ln_spos=ln_spos, ln_epos=ln_epos, ln_desc=ln_desc, ln_valid=ln_valid,
         ln_nobs=ln_nobs, ln_last_kf=ln_last, ln_first_kf=ln_first,
-        ln_desc_ring=ln_ring, ln_dir=ln_dir,
+        ln_desc_ring=ln_ring, ln_ring_n=ln_ring_n, ln_dir=ln_dir,
         obs_pt_uv=state.obs_pt_uv.at[slot].set(pts.uv),
         obs_pt_disp=state.obs_pt_disp.at[slot].set(
             jnp.where(pts.valid, pts.disp, 0.0)),
@@ -390,9 +401,10 @@ def remove_redundant_kfs_global(state: MapState, cfg: SlamConfig,
     scans covisible KFs anywhere in the map, not just the local window —
     the window-local pass never retires old KFs once the trajectory
     moves on). Retires up to ``max_retire`` KFs per call, most-redundant
-    first. The observer threshold (6) is stricter than the window pass's
-    4 so that jointly-retired KFs cannot drag each other's landmarks
-    below the culling floor. Returns (state, n_removed)."""
+    first. The observer threshold (max_retire + min_lm_obs) is stricter than the window pass's
+    4: even if every retired KF observed the same landmark, its count
+    stays at or above the culling floor — joint retirements cannot
+    destroy a still-useful landmark. Returns (state, n_removed)."""
     m = cfg.mapping
     F = state.kf_pose.shape[0]
     newest = state.n_kfs - 1
@@ -401,7 +413,7 @@ def remove_redundant_kfs_global(state: MapState, cfg: SlamConfig,
     lm = state.obs_pt_lm                                     # (F, K)
     ok = lm >= 0
     nobs = take_mxu(state.pt_nobs, jnp.maximum(lm, 0))       # (F, K)
-    well = ok & (nobs >= 6)
+    well = ok & (nobs >= max_retire + m.min_lm_obs)
     frac = jnp.sum(well, axis=1) / jnp.maximum(jnp.sum(ok, axis=1), 1)
     removable = ((frac > m.max_common_fts_kf) & state.kf_valid
                  & (slots_arr > 0) & (slots_arr != newest)

@@ -206,6 +206,11 @@ class ChunkedPLSLAM:
         since that KF. The reference's delayed correction pickup gives
         the same semantics; round 1 only produced corrected poses at
         finish()."""
+        # async mode: _kf_slot advances at decision time on the tracker
+        # thread; wait until the worker has DISPATCHED the insertion (a
+        # dispatch updates the device-state refs), or the slot would
+        # still read its identity-initialized placeholder
+        self.map.wait_dispatched()
         slot = max(self._kf_slot, 0)
         T_kf = self.map.latest_kf_pose(slot)
         T_rel = np.linalg.inv(self._T_kf_at_insert) @ self.vo.T_wc

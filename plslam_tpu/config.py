@@ -72,7 +72,8 @@ class LineFeatureConfig:
     anisotropy_th: float = 0.85     # structure-tensor anisotropy gate
     # per-tile gates (validated against ground-truth synthetic scenes;
     # the level-line reweighting pass carries most of the precision, so
-    # the geometric gates can sit near the anti-aliased line PSF limits)
+    # the geometric gates can sit near the anti-aliased line PSF limits;
+    # robustness re-validated on the degraded suite, tests/test_degraded)
     min_support: float = 0.4        # gradient mass per tile, x tile px
     elong_th: float = 1.8           # sqrt eigenvalue ratio of tile support
     perp_spread_th: float = 3.2     # px, perpendicular spread of support
@@ -170,9 +171,10 @@ class MappingConfig:
     # LBA problem capacities: the window solve runs on a COMPACTED local
     # problem holding only window-touched landmarks (the reference's
     # localBundleAdjustment likewise optimizes only the local map, never
-    # the full store). Overflow beyond these caps drops the newest-
-    # touched observations from the solve (reported in the KF diag as
-    # lba_pt/ln_overflow — never silent) but leaves the map intact.
+    # the full store). On overflow the caps keep the MOST RECENTLY
+    # touched landmarks and drop the oldest-touched ones from the solve
+    # (reported in the KF diag as lba_pt/ln_overflow — never silent);
+    # the map itself is untouched.
     lba_max_points: int = 4096
     lba_max_lines: int = 512
     lba_iters: int = 6              # LM iterations in LBA (accept/reject;

@@ -136,6 +136,8 @@ def make_trajectory(n_frames: int, kind: str = "forward", step: float = 0.15,
     """(F, 4, 4) camera-to-world poses. kinds: forward, arc, loop."""
     poses = np.zeros((n_frames, 4, 4), np.float32)
     T = np.eye(4, dtype=np.float32)
+    if kind == "arc" and yaw_rate == 0.0:
+        yaw_rate = np.radians(1.5)     # gentle constant turn
     if kind == "loop":
         # close the circle by ~85% of the frames so the tail OVERSHOOTS
         # into revisited territory — loop detection needs several

@@ -205,7 +205,6 @@ class LoopCloser:
         self.n_loops_closed = 0
         self.n_edges_dropped = 0     # covis edges lost to the E cap (telemetry)
         self.probes_since_close = 10 ** 9   # MapHandler pipelining hint
-        self._last_pose = None
         self._probe = None           # lazily-built fused per-KF program
 
     @property
@@ -232,10 +231,10 @@ class LoopCloser:
             (self.db.bows_p, self.db.bows_l, s_d, covis_d,
              pose_d) = self._probe(state, self.db.bows_p, self.db.bows_l,
                                    jnp.asarray(slot))
-            scores, covis, pose, n_kfs, kf_poses = jax.device_get(
-                (s_d, covis_d, pose_d, state.n_kfs, state.kf_pose))
+            scores, covis, n_kfs, kf_poses = jax.device_get(
+                (s_d, covis_d, state.n_kfs, state.kf_pose))
         out = self._handle_probe_result(map_handler, slot, scores, covis,
-                                        pose, int(n_kfs), kf_poses)
+                                        int(n_kfs), kf_poses)
         return out[slot] if out is not None else None
 
     def on_probe_batch(self, map_handler, slots, scores_d, covis_d, poses_d
@@ -257,40 +256,43 @@ class LoopCloser:
         with map_handler._lock:
             state = map_handler.state
             datas, n_kfs, kf_poses = jax.device_get(
-                ([(s, c, p) for _, s, c, p in batches],
+                ([(s, c) for _, s, c, _ in batches],
                  state.n_kfs, state.kf_pose))
         n_kfs = int(n_kfs)
         corrected = None
-        for (slots, *_), (scores, covis, poses) in zip(batches, datas):
+        for (slots, *_), (scores, covis) in zip(batches, datas):
             for j, slot in enumerate(slots):
                 if corrected is not None:
-                    # a closure earlier in this flush moved every KF: the
-                    # cached probe poses are stale — use corrected ones,
-                    # or an odometry edge would mix pre-/post-correction
-                    # frames
+                    # a closure earlier in this flush moved every KF:
+                    # the fetched snapshot is stale — use corrected poses
                     kf_poses = corrected
-                    pose_j = corrected[slot]
-                else:
-                    pose_j = poses[j]
                 out = self._handle_probe_result(
-                    map_handler, slot, scores[j], covis[j], pose_j,
+                    map_handler, slot, scores[j], covis[j],
                     n_kfs, kf_poses)
                 if out is not None:
                     corrected = out
         return corrected
 
     def _handle_probe_result(self, map_handler, slot: int, scores, covis,
-                             pose, n_kfs: int, kf_poses
+                             n_kfs: int, kf_poses
                              ) -> Optional[np.ndarray]:
         """Returns the FULL corrected (F, 4, 4) pose array if this KF
-        fired a verified loop closure, else None."""
+        fired a verified loop closure, else None.
+
+        EVERY graph edge (odometry and covisibility) is measured from the
+        SAME pose snapshot (``kf_poses``): with pipelined probes, the
+        in-program probe pose and the flush-time poses live in different
+        epochs (later LBA windows / closures have moved KFs), and mixing
+        epochs inside one relative measurement injects systematic error
+        — including, after a mid-flush closure, a near-identity odometry
+        edge that permanently skews the graph."""
         cfg = self.cfg
         self.probes_since_close += 1
-        # odometry edge from the previous KF
-        if self._last_pose is not None:
-            T_rel = np.linalg.inv(self._last_pose) @ pose
+        pose = kf_poses[slot]
+        # odometry edge from the previous KF, same snapshot
+        if slot >= 1:
+            T_rel = np.linalg.inv(kf_poses[slot - 1]) @ pose
             self.odo_edges.append((slot - 1, slot, T_rel.astype(np.float32), 1.0))
-        self._last_pose = pose
 
         # covisibility edges: non-adjacent earlier KFs sharing enough
         # landmarks with this one get a graph edge measured at insertion
@@ -372,11 +374,7 @@ class LoopCloser:
                     map_handler.state, jnp.asarray(new_full),
                     jnp.asarray(slot_a), jnp.asarray(slot_b),
                     self.cam, cfg)
-                corrected, kf_valid = jax.device_get(
-                    (state.kf_pose, state.kf_valid))
-                corrected = np.asarray(corrected)
-                vi = np.nonzero(np.asarray(kf_valid))[0]
-                self._last_pose = corrected[vi[-1]] if len(vi) else None
+                corrected = np.asarray(jax.device_get(state.kf_pose))
             else:  # graph solve failed: still fuse duplicates
                 state, _ = fuse_loop_landmarks(
                     map_handler.state, jnp.asarray(slot_a),
