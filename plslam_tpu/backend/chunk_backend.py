@@ -33,11 +33,84 @@ from plslam_tpu.core import lie
 from plslam_tpu.ops import hamming
 
 
+def backend_slots(state, bows_p, bows_l, all_pts, all_lns, frame_idx,
+                  kf_valid, T_rels, cam, cfg, kmax: int, probe=None,
+                  packed_desc: bool = True):
+    """TRACEABLE slot loop shared by the standalone jitted chunk-backend
+    step below and the fully-fused SLAM step (backend.fused_slam): per
+    valid slot j, slice KF frame_idx[j]'s features out of the chunk
+    stacks, insert RELATIVE to the previous KF's current map pose
+    (T_rels[j] = tracker pose vs previous KF — delayed-correction
+    pickup), run the fused mapping_step (+ BoW probe when ``probe``),
+    lax.cond-skipping invalid slots. Returns (state, bows_p, bows_l,
+    scores (kmax,F), covis (kmax,F), poses (kmax,4,4), stats (kmax,7)).
+
+    stats rows: [lba_cost0, lba_cost1, n_map_matches, n_new_points,
+    lba_pt_overflow, lba_ln_overflow, kf_slot]."""
+    probe_on = probe is not None
+    F = cfg.mapping.max_kfs
+
+    def slice_frame(feats, i):
+        out = jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), feats)
+        if packed_desc:   # chunk stacks carry bit-packed descriptors
+            out = out._replace(desc=hamming.unpack_bits(out.desc))
+        return out
+
+    def do(ops, pts_j, lns_j, T_rel):
+        state, bows_p, bows_l = ops
+        anchor = state.kf_pose[jnp.maximum(state.n_kfs - 1, 0)]
+        T_w_kf = lie.mm(anchor, T_rel)
+        state, diag, c0, c1 = mapping_step(
+            state, pts_j, lns_j, T_w_kf, cam, cfg,
+            run_lba_flag=True)
+        slot = diag["kf_slot"]
+        if probe_on:
+            bows_p, bows_l, s, cv, pose = probe(
+                state, bows_p, bows_l, slot)
+        else:
+            s = jnp.zeros((F,), jnp.float32)
+            cv = jnp.zeros((F,), jnp.float32)
+            pose = state.kf_pose[slot]
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        stat = jnp.stack([
+            f32(c0), f32(c1), f32(diag["n_map_matches"]),
+            f32(diag["n_new_points"]),
+            f32(diag.get("lba_pt_overflow", 0)),
+            f32(diag.get("lba_ln_overflow", 0)),
+            f32(slot)])   # device-side KF slot: the host pipelines chunk
+                          # submissions ahead of settles, so only the
+                          # program knows the true slot numbering
+        return state, bows_p, bows_l, (s, cv, pose, stat)
+
+    def skip(ops, pts_j, lns_j, T_rel):
+        state, bows_p, bows_l = ops
+        zero = (jnp.zeros((F,), jnp.float32),
+                jnp.zeros((F,), jnp.float32),
+                jnp.eye(4, dtype=jnp.float32),
+                jnp.zeros((7,), jnp.float32))
+        return state, bows_p, bows_l, zero
+
+    # the kmax slots run as a lax.scan (not a Python unroll): every slot
+    # traces the same mapping_step+probe body, so the scan compiles it
+    # ONCE — kf_batch can grow without multiplying compile time
+    def slot_body(carry, xs):
+        idx_j, valid_j, T_rel_j = xs
+        pts_j = slice_frame(all_pts, idx_j)
+        lns_j = (slice_frame(all_lns, idx_j)
+                 if all_lns is not None else None)
+        state, bows_p, bows_l, out_j = lax.cond(
+            valid_j, do, skip, carry, pts_j, lns_j, T_rel_j)
+        return (state, bows_p, bows_l), out_j
+
+    (state, bows_p, bows_l), (scores, covis, poses, stats) = lax.scan(
+        slot_body, (state, bows_p, bows_l), (frame_idx, kf_valid, T_rels))
+    return state, bows_p, bows_l, scores, covis, poses, stats
+
+
 def make_chunk_backend(cam, cfg, kmax: int, voc_p=None, voc_l=None):
     """Build the jitted fused step.
 
-    Returns fn(state, bows_p, bows_l, all_pts, all_lns, frame_idx (kmax,),
-    T_rels (kmax,4,4), kf_valid (kmax,)) ->
+    Returns fn(state, bows_p, bows_l, all_pts, all_lns, meta) ->
     (state, bows_p, bows_l, scores (kmax,F), covis (kmax,F),
      poses (kmax,4,4), stats (kmax,6)).
 
@@ -50,21 +123,13 @@ def make_chunk_backend(cam, cfg, kmax: int, voc_p=None, voc_l=None):
     at a stale pre-correction pose (which would break map matching and
     leave the pose graph inconsistent).
 
-    stats rows: [lba_cost0, lba_cost1, n_map_matches, n_new_points,
-    lba_pt_overflow, lba_ln_overflow]. When voc_p is None the probe is
-    compiled out and scores/covis are zeros (pass (1,1) dummies for the
-    bows).
+    When voc_p is None the probe is compiled out and scores/covis are
+    zeros (pass (1,1) dummies for the bows).
     """
-    probe_on = voc_p is not None
-    if probe_on:
+    probe = None
+    if voc_p is not None:
         from plslam_tpu.loop.loop_closer import probe_core
         probe = partial(probe_core, voc_p, voc_l, cfg, cfg.lines.has_lines)
-    F = cfg.mapping.max_kfs
-
-    def slice_frame(feats, i):
-        out = jax.tree_util.tree_map(lambda x: jnp.take(x, i, axis=0), feats)
-        # chunk feature stacks carry bit-packed descriptors (batch_vo)
-        return out._replace(desc=hamming.unpack_bits(out.desc))
 
     @jax.jit
     def step(state, bows_p, bows_l, all_pts, all_lns, meta):
@@ -73,49 +138,8 @@ def make_chunk_backend(cam, cfg, kmax: int, voc_p=None, voc_l=None):
         frame_idx = meta[:, 0].astype(jnp.int32)
         kf_valid = meta[:, 1] > 0.5
         T_rels = meta[:, 2:].reshape(kmax, 4, 4)
-        outs = []
-        for j in range(kmax):
-            pts_j = slice_frame(all_pts, frame_idx[j])
-            lns_j = (slice_frame(all_lns, frame_idx[j])
-                     if all_lns is not None else None)
-
-            def do(ops, pts_j=pts_j, lns_j=lns_j, j=j):
-                state, bows_p, bows_l = ops
-                anchor = state.kf_pose[jnp.maximum(state.n_kfs - 1, 0)]
-                T_w_kf = lie.mm(anchor, T_rels[j])
-                state, diag, c0, c1 = mapping_step(
-                    state, pts_j, lns_j, T_w_kf, cam, cfg,
-                    run_lba_flag=True)
-                slot = diag["kf_slot"]
-                if probe_on:
-                    bows_p, bows_l, s, cv, pose = probe(
-                        state, bows_p, bows_l, slot)
-                else:
-                    s = jnp.zeros((F,), jnp.float32)
-                    cv = jnp.zeros((F,), jnp.float32)
-                    pose = state.kf_pose[slot]
-                f32 = lambda x: jnp.asarray(x, jnp.float32)
-                stat = jnp.stack([
-                    f32(c0), f32(c1), f32(diag["n_map_matches"]),
-                    f32(diag["n_new_points"]),
-                    f32(diag.get("lba_pt_overflow", 0)),
-                    f32(diag.get("lba_ln_overflow", 0))])
-                return state, bows_p, bows_l, (s, cv, pose, stat)
-
-            def skip(ops):
-                state, bows_p, bows_l = ops
-                zero = (jnp.zeros((F,), jnp.float32),
-                        jnp.zeros((F,), jnp.float32),
-                        jnp.eye(4, dtype=jnp.float32),
-                        jnp.zeros((6,), jnp.float32))
-                return state, bows_p, bows_l, zero
-
-            state, bows_p, bows_l, out_j = lax.cond(
-                kf_valid[j], do, skip, (state, bows_p, bows_l))
-            outs.append(out_j)
-
-        stack = lambda i: jnp.stack([o[i] for o in outs])
-        return (state, bows_p, bows_l,
-                stack(0), stack(1), stack(2), stack(3))
+        return backend_slots(state, bows_p, bows_l, all_pts, all_lns,
+                             frame_idx, kf_valid, T_rels, cam, cfg, kmax,
+                             probe=probe, packed_desc=True)
 
     return step

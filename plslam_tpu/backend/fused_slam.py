@@ -1,0 +1,418 @@
+"""Fully-fused full-SLAM chunks: ONE device program per B-frame chunk.
+
+The chunked driver (backend.slam_system.ChunkedPLSLAM) still makes the
+keyframe decision on host: it must FETCH every chunk's per-frame
+covariances before the back-end program can even be dispatched, and on
+tunnel-attached TPU runtimes a single device fetch can stall for
+seconds when the link degrades (measured on this rig: the same 64 KB
+fetch ranges 0.2 ms .. 4500 ms). Full-SLAM throughput was therefore
+hostage to fetch latency even though the device work per chunk is
+~10 ms.
+
+This module moves the LAST host decision into the program: the keyframe
+criterion (stereoFrameHandler::currFrameIsKF — covariance-entropy ratio
+of the adjoint-compounded motion since the last KF, plus translation/
+rotation caps) runs as a ``lax.scan`` over the chunk's tracked frames,
+and its selected keyframes feed the fused back-end (insertion + map
+matching + triangulation + Schur LBA + culling + BoW probe,
+backend.chunk_backend.backend_slots) IN THE SAME PROGRAM. Per chunk the
+host dispatches exactly one program and fetches exactly one packed
+result buffer (a few KB) — two chunks ride in flight, so a stalled
+fetch overlaps the next chunk's device execution, and NO host round
+trip sits between tracking and mapping.
+
+Loop-closure candidate selection/voting stays on host (it consumes the
+fetched probe scores); verification + pose-graph + correction dispatch
+extra programs only when a candidate actually fires (rare). While the
+voter reports a streak building, the driver drops to depth-1 pipelining
+so corrections land before the next chunk's insertions — the same
+adaptive ordering the worker-thread driver uses.
+
+Reference parity note: this collapses what the reference runs as two
+threads (tracking + mapping, mapHandler queue) into one device stream
+with host-side pipelining — the TPU-native equivalent of P3 for the
+single-chip deployment; the worker-thread path remains available in
+ChunkedPLSLAM.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core import lie
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.backend.chunk_backend import backend_slots
+from plslam_tpu.backend.map import init_map_state
+from plslam_tpu.backend.map_handler import KeyFrameSummary, mapping_step
+from plslam_tpu.frontend.stereo_frame import extract_stereo_frame
+from plslam_tpu.tracking.batch_vo import _chunk_tracking_batched
+
+
+class CritCarry(NamedTuple):
+    """Device-resident keyframe-criterion state (KeyframeCriterion
+    parity, crossing chunk boundaries as program carries)."""
+    cov_kf: jnp.ndarray      # (6, 6) compounded covariance since last KF
+    have_cov: jnp.ndarray    # () bool — cov_kf holds data
+    ef: jnp.ndarray          # () entropy at first post-KF frame
+    have_ef: jnp.ndarray     # () bool
+    frames: jnp.ndarray      # () int32 frames since last KF
+    T_acc: jnp.ndarray       # (4, 4) pose of current frame rel. last KF
+    last_step: jnp.ndarray   # (4, 4) last good relative step (fallback)
+
+
+def init_crit_carry() -> CritCarry:
+    return CritCarry(
+        cov_kf=jnp.zeros((6, 6), jnp.float32),
+        have_cov=jnp.asarray(False),
+        ef=jnp.asarray(0.0, jnp.float32),
+        have_ef=jnp.asarray(False),
+        frames=jnp.asarray(0, jnp.int32),
+        T_acc=jnp.eye(4, dtype=jnp.float32),
+        last_step=jnp.eye(4, dtype=jnp.float32))
+
+
+def kf_scan(DT: jnp.ndarray, cov: jnp.ndarray, good: jnp.ndarray,
+            carry: CritCarry, cfg: SlamConfig, kmax: int):
+    """currFrameIsKF as an in-program scan over a tracked chunk.
+
+    Mirrors tracking.frame_handler.KeyframeCriterion.update exactly
+    (adjoint compounding of the RAW per-pair covariances, entropy ratio
+    vs the first post-KF frame, t/r caps, min_kf_n_frames), with one
+    bounded deviation: at most ``kmax`` keyframes fire per chunk — a
+    further candidate frame keeps accumulating and fires on the next
+    chunk instead (the criterion state is NOT reset), so no keyframe is
+    lost, only deferred by < one chunk.
+
+    Returns (flags (B,), T_accs (B,4,4) pose of each frame relative to
+    its preceding KF, ratios (B,), carry_out)."""
+    k = cfg.keyframe
+    r_cap = np.deg2rad(k.max_kf_r_dist).astype(np.float32)
+
+    def body(c, x):
+        DT_i, cov_i, good_i = x
+        c, n_fired = c
+        step = jnp.where(good_i, DT_i, c.last_step)
+        Adj = lie.adjoint_se3(DT_i)
+        cov_new = jnp.where(
+            c.have_cov,
+            lie.mm(lie.mm(Adj, c.cov_kf), Adj.T) + cov_i, cov_i)
+        sign, logdet = jnp.linalg.slogdet(cov_new)
+        h = jnp.where(sign > 0, 0.5 * logdet, -jnp.inf)
+        ef_new = jnp.where(c.have_ef, c.ef, h)
+        ratio = jnp.where(ef_new != 0.0, h / ef_new, 1.0)
+        T_acc = lie.mm(c.T_acc, lie.inverse_se3(step))
+        t_dist, r_dist = lie.se3_distance(T_acc)
+        frames = c.frames + 1
+        crit = ((ratio < k.min_entropy_ratio) | (t_dist > k.max_kf_t_dist)
+                | (r_dist > r_cap))
+        is_kf = (good_i & (frames >= k.min_kf_n_frames) & crit
+                 & (n_fired < kmax))
+        eye4 = jnp.eye(4, dtype=jnp.float32)
+        c2 = CritCarry(
+            cov_kf=cov_new,
+            have_cov=~is_kf,
+            ef=jnp.where(is_kf, 0.0, ef_new),
+            have_ef=jnp.where(is_kf, False, True),
+            frames=jnp.where(is_kf, 0, frames),
+            T_acc=jnp.where(is_kf, eye4, T_acc),
+            last_step=step)
+        return (c2, n_fired + is_kf.astype(jnp.int32)), (is_kf, T_acc, ratio)
+
+    (carry_out, _), (flags, T_accs, ratios) = lax.scan(
+        body, (carry, jnp.asarray(0, jnp.int32)), (DT, cov, good))
+    return flags, T_accs, ratios, carry_out
+
+
+# packed host-block layout (one fetch per chunk):
+#   per frame (B rows x PF):  [DT flat 16 | T_acc flat 16 | good | flag |
+#                              n_inliers | err | ratio]
+#   per slot (kmax rows x PS): [valid | frame_idx | pose flat 16 | stats 7]
+#   (stats[6] is the DEVICE-side KF slot — authoritative numbering, since
+#    chunk k+1 is submitted before chunk k settles)
+_PF = 37
+_PS = 25
+
+
+def make_fused_slam_step(cam: StereoCamera, cfg: SlamConfig, kmax: int,
+                         voc_p=None, voc_l=None):
+    """Build the jitted one-dispatch-per-chunk SLAM step.
+
+    fn(imgs_l, imgs_r, prev_pts, prev_lns, T_prior0, crit, state,
+       bows_p, bows_l) ->
+    (host_blk (B*_PF + kmax*_PS,), scores (kmax,F), covis (kmax,F),
+     state, bows_p, bows_l, crit, last_pts, last_lns, DT_next)
+    """
+    probe = None
+    if voc_p is not None:
+        from plslam_tpu.loop.loop_closer import probe_core
+        probe = partial(probe_core, voc_p, voc_l, cfg, cfg.lines.has_lines)
+
+    @jax.jit
+    def step(imgs_l, imgs_r, prev_pts, prev_lns, T_prior0,
+             crit: CritCarry, state, bows_p, bows_l):
+        if imgs_l.dtype == jnp.uint8:
+            imgs_l = imgs_l.astype(jnp.float32) * (1.0 / 255.0)
+            imgs_r = imgs_r.astype(jnp.float32) * (1.0 / 255.0)
+        pts, lns = jax.vmap(
+            lambda a, b: extract_stereo_frame(a, b, cam, cfg))(imgs_l, imgs_r)
+        out = _chunk_tracking_batched(pts, lns, prev_pts, prev_lns,
+                                      T_prior0, cam, cfg, keep_feats=False)
+        B = out.DT.shape[0]
+        flags, T_accs, ratios, crit2 = kf_scan(
+            out.DT, out.cov, out.good, crit, cfg, kmax)
+
+        # compress flagged frames into kmax back-end slots
+        order = jnp.cumsum(flags.astype(jnp.int32)) - 1      # kf index
+        sel = flags & (order < kmax)
+        tgt = jnp.where(sel, order, kmax)
+        i32 = jnp.int32
+        frame_idx = jnp.zeros((kmax + 1,), i32).at[tgt].set(
+            jnp.arange(B, dtype=i32), mode="drop")[:kmax]
+        kf_valid = jnp.zeros((kmax + 1,), bool).at[tgt].set(
+            True, mode="drop")[:kmax]
+        T_rels = jnp.tile(jnp.eye(4, dtype=jnp.float32), (kmax + 1, 1, 1)
+                          ).at[tgt].set(T_accs, mode="drop")[:kmax]
+
+        state, bows_p, bows_l, scores, covis, poses, stats = backend_slots(
+            state, bows_p, bows_l, pts, lns, frame_idx, kf_valid, T_rels,
+            cam, cfg, kmax, probe=probe, packed_desc=False)
+
+        f32 = jnp.float32
+        frame_blk = jnp.concatenate([
+            out.DT.reshape(B, 16).astype(f32),
+            T_accs.reshape(B, 16).astype(f32),
+            out.good.astype(f32)[:, None],
+            flags.astype(f32)[:, None],
+            out.n_inliers.astype(f32)[:, None],
+            out.err.astype(f32)[:, None],
+            ratios.astype(f32)[:, None]], axis=1)           # (B, _PF)
+        slot_blk = jnp.concatenate([
+            kf_valid.astype(f32)[:, None],
+            frame_idx.astype(f32)[:, None],
+            poses.reshape(kmax, 16).astype(f32),
+            stats.astype(f32)], axis=1)                     # (kmax, _PS)
+        host_blk = jnp.concatenate(
+            [frame_blk.reshape(-1), slot_blk.reshape(-1)])
+        last_p = jax.tree_util.tree_map(lambda x: x[-1], pts)
+        last_l = (jax.tree_util.tree_map(lambda x: x[-1], lns)
+                  if lns is not None else None)
+        return (host_blk, scores, covis, state, bows_p, bows_l, crit2,
+                last_p, last_l, out.DT_next)
+
+    return step
+
+
+class _PendingChunk(NamedTuple):
+    host_ref: jnp.ndarray      # packed block (device ref)
+    scores_ref: jnp.ndarray
+    covis_ref: jnp.ndarray
+    kf_pose_ref: jnp.ndarray   # this chunk's post-insert pose snapshot
+    n_valid: Optional[int]
+
+
+class FusedPLSLAM:
+    """Single-dispatch-per-chunk full SLAM driver (see module docstring).
+
+    API-compatible with ChunkedPLSLAM: initialize / process_chunk /
+    online_pose / finish, plus ``summaries`` and ``loop_closer``.
+    """
+
+    def __init__(self, cfg: SlamConfig, cam: Optional[StereoCamera] = None,
+                 enable_loops: Optional[bool] = None):
+        self.cfg = cfg
+        self.cam = cam if cam is not None else StereoCamera.from_config(cfg.camera)
+        self.kmax = cfg.system.kf_batch
+        self.enable_loops = (cfg.loop.enabled if enable_loops is None
+                             else enable_loops)
+        # loop-closer compatibility surface (it treats us as MapHandler)
+        self._lock = threading.Lock()
+        self.state = init_map_state(cfg)
+        self._next_slot = 0
+        self.loop_closer = None
+        voc_p = voc_l = None
+        if self.enable_loops:
+            from plslam_tpu.loop.loop_closer import LoopCloser
+            self.loop_closer = LoopCloser(cfg, self.cam)
+            voc_p = self.loop_closer.db.voc_p
+            voc_l = self.loop_closer.db.voc_l
+        self._step = make_fused_slam_step(self.cam, cfg, self.kmax,
+                                          voc_p, voc_l)
+        self._dummy_bows = jnp.zeros((1, 1), jnp.float32)
+        self._crit = init_crit_carry()
+        self.prev_pts = None
+        self.prev_lns = None
+        self.DT_prev = jnp.eye(4, dtype=jnp.float32)
+        self.trajectory: List[np.ndarray] = []
+        self._frame_anchor: List[Tuple[int, np.ndarray]] = []
+        self._kf_slot = -1
+        self._records: List[KeyFrameSummary] = []
+        self._pending: List[_PendingChunk] = []
+        self._last_step_host = np.eye(4, dtype=np.float32)
+        self._T_wc = np.eye(4, dtype=np.float32)
+        self._last_settled = None   # (kf_poses, last anchor) for online_pose
+
+    # -- MapHandler-compat shims (used by LoopCloser) ------------------------
+    def wait_idle(self):
+        pass
+
+    def wait_dispatched(self):
+        pass
+
+    # -- lifecycle -----------------------------------------------------------
+    def initialize(self, img_l: np.ndarray, img_r: np.ndarray) -> None:
+        from plslam_tpu.tracking.batch_vo import extract_one
+        self.prev_pts, self.prev_lns = extract_one(
+            jnp.asarray(img_l), jnp.asarray(img_r), self.cam, self.cfg)
+        self.state, _, _, _ = mapping_step(
+            self.state, self.prev_pts, self.prev_lns,
+            jnp.eye(4, dtype=jnp.float32), self.cam, self.cfg,
+            run_lba_flag=False)
+        self._next_slot = 1
+        self._kf_slot = 0
+        self.trajectory = [np.eye(4, dtype=np.float32)]
+        self._frame_anchor = [(0, np.eye(4, dtype=np.float32))]
+        if self.loop_closer is not None:
+            self.loop_closer.on_keyframe(self, 0)
+
+    def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
+                      n_valid: Optional[int] = None) -> None:
+        """Submit a (B, H, W) stereo chunk; settles the oldest pending
+        chunk when two are in flight (depth-2 pipelining), or all of them
+        while the loop voter reports a closure brewing (corrections must
+        land before further insertions anchor to stale poses)."""
+        if (self.loop_closer is not None
+                and self.loop_closer.closure_imminent):
+            self._settle_all()
+        self._submit(imgs_l, imgs_r, n_valid)
+        if len(self._pending) >= 2:
+            self._settle_one()
+
+    def _submit(self, imgs_l, imgs_r, n_valid):
+        assert self.prev_pts is not None, "call initialize() first"
+        if self.loop_closer is not None:
+            bows_p = self.loop_closer.db.bows_p
+            bows_l = self.loop_closer.db.bows_l
+            if bows_l is None:
+                bows_l = self._dummy_bows
+        else:
+            bows_p = bows_l = self._dummy_bows
+        (host_blk, scores, covis, state, bows_p2, bows_l2, crit2,
+         last_p, last_l, DT_next) = self._step(
+            jnp.asarray(imgs_l), jnp.asarray(imgs_r),
+            self.prev_pts, self.prev_lns, self.DT_prev,
+            self._crit, self.state, bows_p, bows_l)
+        with self._lock:
+            self.state = state
+        if self.loop_closer is not None:
+            self.loop_closer.db.bows_p = bows_p2
+            if self.loop_closer.db.bows_l is not None:
+                self.loop_closer.db.bows_l = bows_l2
+        self.prev_pts, self.prev_lns = last_p, last_l
+        self.DT_prev = DT_next
+        self._crit = crit2
+        self._pending.append(_PendingChunk(
+            host_blk, scores, covis, state.kf_pose, n_valid))
+
+    def _settle_one(self) -> int:
+        p = self._pending.pop(0)
+        host_blk, scores, covis, kf_poses = jax.device_get(
+            (p.host_ref, p.scores_ref, p.covis_ref, p.kf_pose_ref))
+        host_blk = np.asarray(host_blk)
+        n_slots = self.kmax
+        fb = host_blk[:host_blk.size - n_slots * _PS].reshape(-1, _PF)
+        sb = host_blk[host_blk.size - n_slots * _PS:].reshape(n_slots, _PS)
+        B = fb.shape[0] if p.n_valid is None else p.n_valid
+
+        DT = fb[:, :16].reshape(-1, 4, 4)
+        T_acc = fb[:, 16:32].reshape(-1, 4, 4)
+        good = fb[:, 32] > 0.5
+        flags = fb[:, 33] > 0.5
+        # trajectory integration (fallback to last good step)
+        n_kfs_new = 0
+        for i in range(B):
+            step = DT[i] if good[i] else self._last_step_host
+            self._T_wc = (self._T_wc @ np.linalg.inv(step)).astype(np.float32)
+            self._last_step_host = step.astype(np.float32)
+            self.trajectory.append(self._T_wc.copy())
+            self._frame_anchor.append(
+                (self._kf_slot, T_acc[i].astype(np.float32)))
+            if flags[i]:
+                self._kf_slot += 1
+                n_kfs_new += 1
+
+        # per-slot records + loop logic (device slot numbering from
+        # stats[6]: the program is the only authority — chunk k+1 is
+        # submitted before chunk k settles, so host counting would lag)
+        slots_valid = sb[:, 0] > 0.5
+        poses = sb[:, 2:18].reshape(n_slots, 4, 4)
+        stats = sb[:, 18:25]
+        if slots_valid.any():
+            self._next_slot = int(stats[slots_valid, 6].max()) + 1
+        corrected = None
+        for j in range(n_slots):
+            if not slots_valid[j]:
+                continue
+            slot = int(stats[j, 6])
+            self._records.append(KeyFrameSummary(
+                slot=slot, T_w_kf=poses[j].astype(np.float32),
+                n_map_matches=int(stats[j, 2]), n_new_points=int(stats[j, 3]),
+                lba_cost0=float(stats[j, 0]), lba_cost1=float(stats[j, 1]),
+                lba_pt_overflow=int(stats[j, 4]),
+                lba_ln_overflow=int(stats[j, 5])))
+            if self.loop_closer is not None:
+                if corrected is not None:
+                    kf_poses = corrected
+                out = self.loop_closer._handle_probe_result(
+                    self, slot, scores[j].copy(), covis[j],
+                    self._next_slot, kf_poses)
+                if out is not None:
+                    corrected = out
+        self._last_settled = (np.asarray(kf_poses) if corrected is None
+                              else corrected)
+        return n_kfs_new
+
+    def _settle_all(self):
+        while self._pending:
+            self._settle_one()
+
+    # -- queries -------------------------------------------------------------
+    @property
+    def summaries(self):
+        return list(self._records)
+
+    def online_pose(self) -> np.ndarray:
+        """Map-consistent CURRENT pose: the latest settled KF's
+        (LBA/loop-corrected) pose composed with the tracker's relative
+        chain since that KF."""
+        self._settle_all()
+        if self._last_settled is None or not self._frame_anchor:
+            return self._T_wc.copy()
+        slot, T_rel = self._frame_anchor[-1]
+        return (self._last_settled[slot] @ T_rel).astype(np.float32)
+
+    def kf_poses(self) -> np.ndarray:
+        with self._lock:
+            n = int(jax.device_get(self.state.n_kfs))
+            return np.asarray(jax.device_get(self.state.kf_pose[:n]))
+
+    def finish(self) -> np.ndarray:
+        """Settle everything and recompose the trajectory from corrected
+        KF poses + per-frame relatives (finishSLAM parity)."""
+        self._settle_all()
+        kf_poses = self.kf_poses()
+        out = []
+        for kf_slot, T_rel in self._frame_anchor:
+            slot = min(kf_slot, len(kf_poses) - 1)
+            out.append(kf_poses[slot] @ T_rel)
+        return np.stack(out)
+
+    def close(self):
+        pass

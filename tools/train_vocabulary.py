@@ -18,13 +18,13 @@ import numpy as np
 from plslam_tpu.loop import vocabulary as V
 
 
-def main():
+def main(k: int = 10, levels: int = 4):
     for kind in ("orb", "lbd"):
         t0 = time.time()
         desc = V.build_default_corpus(kind)
         print(f"{kind}: corpus {desc.shape[0]} descriptors "
               f"({time.time()-t0:.0f}s)", flush=True)
-        voc = V.build_vocabulary(desc, k=8, levels=4, seed=1)
+        voc = V.build_vocabulary(desc, k=k, levels=levels, seed=1)
         leaves = np.asarray(V.transform_leaves(voc, desc))
         occ = np.bincount(leaves, minlength=voc.n_leaves)
         empty = float(np.mean(occ == 0))
@@ -34,7 +34,7 @@ def main():
               f"median {np.median(idf):.2f} ({time.time()-t0:.0f}s)",
               flush=True)
         path = V._DEFAULT_PATH.replace(
-            ".npz", f"_{kind}_8_4_v{V._VOCAB_VERSION}.npz")
+            ".npz", f"_{kind}_{k}_{levels}_v{V._VOCAB_VERSION}.npz")
         V.save_vocabulary(voc, path)
         print(f"{kind}: wrote {path}", flush=True)
 
