@@ -29,13 +29,16 @@ def main() -> None:
     from plslam_tpu.config import SlamConfig
     from plslam_tpu.core.camera import StereoCamera
     from plslam_tpu.io import synthetic
-    from plslam_tpu.backend.slam_system import ChunkedPLSLAM
     from plslam_tpu.utils.evaluation import ate_rmse
 
     cfg = SlamConfig()
     if os.environ.get("LBA_ITERS"):
         cfg = cfg.with_updates(
             {"mapping": {"lba_iters": int(os.environ["LBA_ITERS"])}})
+    if cfg.system.fused_slam:       # default: single-dispatch fused chunks
+        from plslam_tpu.backend.fused_slam import FusedPLSLAM as Driver
+    else:
+        from plslam_tpu.backend.slam_system import ChunkedPLSLAM as Driver
     cam = StereoCamera.from_config(cfg.camera)
     chunk = 20
     n = 201
@@ -47,7 +50,7 @@ def main() -> None:
     ir = u8(np.asarray(seq.images_r))
 
     def run():
-        slam = ChunkedPLSLAM(cfg, cam)
+        slam = Driver(cfg, cam)
         slam.initialize(il[0], ir[0])
         t0 = None
         for lo in range(1, n, chunk):

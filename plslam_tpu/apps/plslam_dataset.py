@@ -22,15 +22,22 @@ from plslam_tpu.apps.plstvo_dataset import (build_argparser, load_config,
 
 
 def _main_chunked(args, cfg, ds) -> int:
-    """Chunked full SLAM: B frames per device dispatch, KF decisions on
-    host, mapping + loop closure on the worker thread."""
+    """Chunked full SLAM: B frames per device dispatch. Default driver is
+    the fully-fused one (backend.fused_slam — tracking + in-program KF
+    criterion + mapping + BoW probe in ONE program per chunk, one packed
+    fetch); ``system.fused_slam: false`` selects the host-KF-decision
+    driver with the mapping worker thread instead."""
     import numpy as np
     from plslam_tpu.core.camera import StereoCamera
-    from plslam_tpu.backend.slam_system import ChunkedPLSLAM
     from plslam_tpu.utils.evaluation import ate_rmse, rpe
 
     cam = StereoCamera.from_config(ds.camera)
-    slam = ChunkedPLSLAM(cfg, cam, enable_loops=not args.no_loops)
+    if cfg.system.fused_slam:
+        from plslam_tpu.backend.fused_slam import FusedPLSLAM
+        slam = FusedPLSLAM(cfg, cam, enable_loops=not args.no_loops)
+    else:
+        from plslam_tpu.backend.slam_system import ChunkedPLSLAM
+        slam = ChunkedPLSLAM(cfg, cam, enable_loops=not args.no_loops)
     n = len(ds)
     B = args.chunk
     img_l, img_r = ds.frame(0)
@@ -60,9 +67,11 @@ def _main_chunked(args, cfg, ds) -> int:
     wall = time.perf_counter() - t_start if t_start else 0.0
     fps = n_timed / wall if wall > 0 and n_timed else float("nan")
 
-    n_pts, n_lns = slam.map.n_landmarks()
+    n_pts, n_lns = (slam.map.n_landmarks() if hasattr(slam, "map")
+                    else slam.n_landmarks())
     n_loops = slam.loop_closer.n_loops_closed if slam.loop_closer else 0
-    print(f"\nPL-SLAM (chunked B={B}): {n} frames, {slam._kf_slot + 1} KFs, "
+    mode = "fused" if cfg.system.fused_slam else "chunked"
+    print(f"\nPL-SLAM ({mode} B={B}): {n} frames, {slam._kf_slot + 1} KFs, "
           f"{n_pts} map points, {n_lns} map lines, {n_loops} loops, "
           f"{fps:.1f} fps (wall, steady-state incl. IO + mapping)")
     if ds.gt_poses is not None:

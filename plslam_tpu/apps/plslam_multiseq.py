@@ -50,17 +50,20 @@ def main() -> None:
     from plslam_tpu.config import SlamConfig
     from plslam_tpu.core.camera import StereoCamera
     from plslam_tpu.io import synthetic
-    from plslam_tpu.backend.slam_system import ChunkedPLSLAM
     from plslam_tpu.utils.evaluation import ate_rmse
 
     cfg = SlamConfig()
+    if cfg.system.fused_slam:
+        from plslam_tpu.backend.fused_slam import FusedPLSLAM as Driver
+    else:
+        from plslam_tpu.backend.slam_system import ChunkedPLSLAM as Driver
     cam = StereoCamera.from_config(cfg.camera)
     seqs = [synthetic.make_sequence(cam, n_frames=args.frames, seed=10 + s,
                                     kind="loop" if s % 2 else "forward",
                                     n_points=400, n_lines=60, noise=0.004,
                                     step=0.15)
             for s in range(args.sequences)]
-    slams = [ChunkedPLSLAM(cfg, cam, enable_loops=not args.no_loops)
+    slams = [Driver(cfg, cam, enable_loops=not args.no_loops)
              for _ in range(args.sequences)]
 
     t0 = time.perf_counter()

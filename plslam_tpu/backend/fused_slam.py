@@ -131,12 +131,15 @@ def kf_scan(DT: jnp.ndarray, cov: jnp.ndarray, good: jnp.ndarray,
     return flags, T_accs, ratios, carry_out
 
 
-# packed host-block layout (one fetch per chunk):
+# packed host-block layout — ONE flat f32 buffer per chunk, so the
+# settle is a single one-buffer fetch (this rig's tunnel charges
+# erratic per-transfer latency, so buffer COUNT matters more than bytes):
 #   per frame (B rows x PF):  [DT flat 16 | T_acc flat 16 | good | flag |
 #                              n_inliers | err | ratio]
 #   per slot (kmax rows x PS): [valid | frame_idx | pose flat 16 | stats 7]
 #   (stats[6] is the DEVICE-side KF slot — authoritative numbering, since
 #    chunk k+1 is submitted before chunk k settles)
+#   then scores (kmax*F) | covis (kmax*F) | kf_pose snapshot (F*16)
 _PF = 37
 _PS = 25
 
@@ -200,21 +203,20 @@ def make_fused_slam_step(cam: StereoCamera, cfg: SlamConfig, kmax: int,
             poses.reshape(kmax, 16).astype(f32),
             stats.astype(f32)], axis=1)                     # (kmax, _PS)
         host_blk = jnp.concatenate(
-            [frame_blk.reshape(-1), slot_blk.reshape(-1)])
+            [frame_blk.reshape(-1), slot_blk.reshape(-1),
+             scores.reshape(-1).astype(f32), covis.reshape(-1).astype(f32),
+             state.kf_pose.reshape(-1).astype(f32)])
         last_p = jax.tree_util.tree_map(lambda x: x[-1], pts)
         last_l = (jax.tree_util.tree_map(lambda x: x[-1], lns)
                   if lns is not None else None)
-        return (host_blk, scores, covis, state, bows_p, bows_l, crit2,
+        return (host_blk, state, bows_p, bows_l, crit2,
                 last_p, last_l, out.DT_next)
 
     return step
 
 
 class _PendingChunk(NamedTuple):
-    host_ref: jnp.ndarray      # packed block (device ref)
-    scores_ref: jnp.ndarray
-    covis_ref: jnp.ndarray
-    kf_pose_ref: jnp.ndarray   # this chunk's post-insert pose snapshot
+    host_ref: jnp.ndarray      # the single packed output buffer (device ref)
     n_valid: Optional[int]
 
 
@@ -285,12 +287,16 @@ class FusedPLSLAM:
     def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
                       n_valid: Optional[int] = None) -> None:
         """Submit a (B, H, W) stereo chunk; settles the oldest pending
-        chunk when two are in flight (depth-2 pipelining), or all of them
-        while the loop voter reports a closure brewing (corrections must
-        land before further insertions anchor to stale poses)."""
-        if (self.loop_closer is not None
-                and self.loop_closer.closure_imminent):
-            self._settle_all()
+        chunk when two are in flight (depth-2 pipelining).
+
+        Unlike the worker-thread driver, no strict-ordering fallback is
+        needed around loop closures: every state mutation (chunk
+        programs, corrections) is dispatched from this thread in stream
+        order, so an in-flight chunk's insertions are composed against
+        the exact pre-correction state they executed on and the
+        correction moves them coherently afterwards. A closure merely
+        fires up to one chunk later than in depth-1 mode — the same
+        bounded delay as the reference's mapping-thread pickup."""
         self._submit(imgs_l, imgs_r, n_valid)
         if len(self._pending) >= 2:
             self._settle_one()
@@ -304,7 +310,7 @@ class FusedPLSLAM:
                 bows_l = self._dummy_bows
         else:
             bows_p = bows_l = self._dummy_bows
-        (host_blk, scores, covis, state, bows_p2, bows_l2, crit2,
+        (host_blk, state, bows_p2, bows_l2, crit2,
          last_p, last_l, DT_next) = self._step(
             jnp.asarray(imgs_l), jnp.asarray(imgs_r),
             self.prev_pts, self.prev_lns, self.DT_prev,
@@ -318,17 +324,24 @@ class FusedPLSLAM:
         self.prev_pts, self.prev_lns = last_p, last_l
         self.DT_prev = DT_next
         self._crit = crit2
-        self._pending.append(_PendingChunk(
-            host_blk, scores, covis, state.kf_pose, n_valid))
+        self._pending.append(_PendingChunk(host_blk, n_valid))
 
     def _settle_one(self) -> int:
         p = self._pending.pop(0)
-        host_blk, scores, covis, kf_poses = jax.device_get(
-            (p.host_ref, p.scores_ref, p.covis_ref, p.kf_pose_ref))
-        host_blk = np.asarray(host_blk)
+        host_blk = np.asarray(jax.device_get(p.host_ref))  # ONE transfer
         n_slots = self.kmax
-        fb = host_blk[:host_blk.size - n_slots * _PS].reshape(-1, _PF)
-        sb = host_blk[host_blk.size - n_slots * _PS:].reshape(n_slots, _PS)
+        F = self.cfg.mapping.max_kfs
+        tail = n_slots * _PS + 2 * n_slots * F + F * 16
+        n_fb = host_blk.size - tail
+        fb = host_blk[:n_fb].reshape(-1, _PF)
+        off = n_fb
+        sb = host_blk[off:off + n_slots * _PS].reshape(n_slots, _PS)
+        off += n_slots * _PS
+        scores = host_blk[off:off + n_slots * F].reshape(n_slots, F)
+        off += n_slots * F
+        covis = host_blk[off:off + n_slots * F].reshape(n_slots, F)
+        off += n_slots * F
+        kf_poses = host_blk[off:].reshape(F, 4, 4)
         B = fb.shape[0] if p.n_valid is None else p.n_valid
 
         DT = fb[:, :16].reshape(-1, 4, 4)
@@ -402,6 +415,11 @@ class FusedPLSLAM:
         with self._lock:
             n = int(jax.device_get(self.state.n_kfs))
             return np.asarray(jax.device_get(self.state.kf_pose[:n]))
+
+    def n_landmarks(self) -> Tuple[int, int]:
+        with self._lock:
+            return (int(jax.device_get(jnp.sum(self.state.pt_valid))),
+                    int(jax.device_get(jnp.sum(self.state.ln_valid))))
 
     def finish(self) -> np.ndarray:
         """Settle everything and recompose the trajectory from corrected

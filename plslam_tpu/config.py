@@ -250,6 +250,12 @@ class CameraConfig:
 class SystemConfig:
     """Runtime knobs that replace the reference threading flags."""
     async_mapping: bool = True      # ref: mapHandler multithread flag
+    fused_slam: bool = True         # chunked drivers use the single-
+                                    # dispatch-per-chunk fused program
+                                    # (backend.fused_slam: KF criterion
+                                    # in-program, one packed fetch); off
+                                    # = host KF decisions + mapping
+                                    # worker thread (ChunkedPLSLAM)
     kf_batch: int = 4               # fused chunk-backend capacity: up to
                                     # this many KFs per device dispatch
                                     # (backend.chunk_backend); a chunk

@@ -209,10 +209,16 @@ class LoopCloser:
 
     @property
     def closure_imminent(self) -> bool:
-        """True while candidate streaks are building or a closure just
-        fired — the mapping worker then reverts from pipelined to strict
-        probe ordering so corrections land before further insertions."""
-        return bool(self.voter._streaks) or self.probes_since_close < 8
+        """True when a candidate streak is ONE vote from firing or a
+        closure just fired — the drivers then revert from pipelined to
+        strict ordering so corrections land before further insertions.
+        (Any-streak was too trigger-happy: on loopy scenes weak
+        candidates appear at nearly every KF and permanently degraded
+        throughput to the unpipelined rate, while the stream-ordered
+        fused driver is correction-consistent at depth 2 anyway.)"""
+        near = any(c >= self.voter.window - 1
+                   for c in self.voter._streaks.values())
+        return near or self.probes_since_close < 8
 
     # -- main entry (called by PLSLAM on every new KF) -----------------------
     def on_keyframe(self, map_handler, slot: int) -> Optional[np.ndarray]:
@@ -401,7 +407,12 @@ class LoopCloser:
         """
         cfg = self.cfg
         F = cfg.mapping.max_kfs
-        n_used = map_handler._next_slot
+        with map_handler._lock:
+            state = map_handler.state
+            # authoritative KF count from the DEVICE state: with pipelined
+            # fused chunks, a later chunk's insertions may already be in
+            # the stream ahead of this settle, and the host counter lags
+            n_used = int(jax.device_get(state.n_kfs))
         Fb = 64
         while Fb < min(n_used, F):
             Fb *= 2
@@ -452,7 +463,13 @@ class LoopCloser:
             for s in range(last + 1, len(new_np)):
                 if valid_np[s]:
                     new_np[s] = delta @ old_np[s]
-        # un-crop back to the full slot capacity
-        full = np.array(kf_poses_host, np.float32)
+        # un-crop against the CURRENT device poses (NOT the settle-time
+        # snapshot): pipelined fused chunks may have inserted KFs beyond
+        # this settle already, and writing snapshot rows back would wipe
+        # their fresh poses. old_np above is also current-state, so the
+        # edge-less tail got the same delta propagation.
+        with map_handler._lock:
+            full = np.array(jax.device_get(map_handler.state.kf_pose),
+                            np.float32)
         full[:Fb] = new_np
         return full
