@@ -35,12 +35,15 @@ def main() -> None:
     if os.environ.get("LBA_ITERS"):
         cfg = cfg.with_updates(
             {"mapping": {"lba_iters": int(os.environ["LBA_ITERS"])}})
+    if os.environ.get("KF_BATCH"):
+        cfg = cfg.with_updates(
+            {"system": {"kf_batch": int(os.environ["KF_BATCH"])}})
     if cfg.system.fused_slam:       # default: single-dispatch fused chunks
         from plslam_tpu.backend.fused_slam import FusedPLSLAM as Driver
     else:
         from plslam_tpu.backend.slam_system import ChunkedPLSLAM as Driver
     cam = StereoCamera.from_config(cfg.camera)
-    chunk = 20
+    chunk = int(os.environ.get("PLSLAM_BENCH_CHUNK", "20"))
     n = 201
     seq = synthetic.make_sequence(cam, n_frames=n, seed=0, kind="loop",
                                   n_points=400, n_lines=60, noise=0.004,

@@ -38,6 +38,7 @@ ChunkedPLSLAM.
 from __future__ import annotations
 
 import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -144,23 +145,39 @@ _PF = 37
 _PS = 25
 
 
+_STEP_CACHE: dict = {}
+
+
 def make_fused_slam_step(cam: StereoCamera, cfg: SlamConfig, kmax: int,
                          voc_p=None, voc_l=None):
-    """Build the jitted one-dispatch-per-chunk SLAM step.
+    """Build (or fetch from the process-level cache) the jitted
+    one-dispatch-per-chunk SLAM step.
 
-    fn(imgs_l, imgs_r, prev_pts, prev_lns, T_prior0, crit, state,
-       bows_p, bows_l) ->
-    (host_blk (B*_PF + kmax*_PS,), scores (kmax,F), covis (kmax,F),
-     state, bows_p, bows_l, crit, last_pts, last_lns, DT_next)
-    """
+    fn(imgs (2, B, H, W) stacked L/R, prev_pts, prev_lns, T_prior0,
+       crit, state, bows_p, bows_l) ->
+    (host_blk, state, bows_p, bows_l, crit, last_pts, last_lns, DT_next)
+
+    Caching matters operationally: tracing + lowering this program costs
+    ~10-15 s on this rig even with a warm persistent XLA compile cache,
+    and a fresh ``@jax.jit`` closure per driver instance pays it again.
+    Keyed by config + camera values + vocabulary object identity (the
+    default vocabularies are themselves process-cached)."""
+    key = (cfg, kmax,
+           float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+           float(cam.b), cam.width, cam.height,
+           id(voc_p), id(voc_l))
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
     probe = None
     if voc_p is not None:
         from plslam_tpu.loop.loop_closer import probe_core
         probe = partial(probe_core, voc_p, voc_l, cfg, cfg.lines.has_lines)
 
     @jax.jit
-    def step(imgs_l, imgs_r, prev_pts, prev_lns, T_prior0,
+    def step(imgs, prev_pts, prev_lns, T_prior0,
              crit: CritCarry, state, bows_p, bows_l):
+        imgs_l, imgs_r = imgs[0], imgs[1]
         if imgs_l.dtype == jnp.uint8:
             imgs_l = imgs_l.astype(jnp.float32) * (1.0 / 255.0)
             imgs_r = imgs_r.astype(jnp.float32) * (1.0 / 255.0)
@@ -212,11 +229,17 @@ def make_fused_slam_step(cam: StereoCamera, cfg: SlamConfig, kmax: int,
         return (host_blk, state, bows_p, bows_l, crit2,
                 last_p, last_l, out.DT_next)
 
+    _STEP_CACHE[key] = step
     return step
 
 
 class _PendingChunk(NamedTuple):
     host_ref: jnp.ndarray      # the single packed output buffer (device ref)
+    n_valid: Optional[int]
+
+
+class _PendingUpload(NamedTuple):
+    fut: "Future"              # resolves to the stacked (2,B,H,W) device ref
     n_valid: Optional[int]
 
 
@@ -247,6 +270,14 @@ class FusedPLSLAM:
             voc_l = self.loop_closer.db.voc_l
         self._step = make_fused_slam_step(self.cam, cfg, self.kmax,
                                           voc_p, voc_l)
+        # dedicated upload thread: on tunnel-attached runtimes
+        # jax.device_put BLOCKS the calling thread with erratic latency
+        # (measured 7-600 ms for the same 9 MB chunk); keeping it off
+        # the dispatch thread lets uploads overlap program execution
+        # and host settle work. One stacked (2,B,H,W) array per chunk =
+        # ONE transfer instead of two (per-transfer latency dominates).
+        self._pool = ThreadPoolExecutor(1, thread_name_prefix="plslam-upload")
+        self._upload_q: List[_PendingUpload] = []
         self._dummy_bows = jnp.zeros((1, 1), jnp.float32)
         self._crit = init_crit_carry()
         self.prev_pts = None
@@ -286,8 +317,10 @@ class FusedPLSLAM:
 
     def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
                       n_valid: Optional[int] = None) -> None:
-        """Submit a (B, H, W) stereo chunk; settles the oldest pending
-        chunk when two are in flight (depth-2 pipelining).
+        """Queue a (B, H, W) stereo chunk. Three pipeline stages ride
+        concurrently: the upload thread pushes chunk k+1's images while
+        chunk k's program executes and chunk k-1's packed result is
+        settled (depth-2 program pipelining).
 
         Unlike the worker-thread driver, no strict-ordering fallback is
         needed around loop closures: every state mutation (chunk
@@ -297,11 +330,24 @@ class FusedPLSLAM:
         correction moves them coherently afterwards. A closure merely
         fires up to one chunk later than in depth-1 mode — the same
         bounded delay as the reference's mapping-thread pickup."""
-        self._submit(imgs_l, imgs_r, n_valid)
+        self._upload_q.append(_PendingUpload(
+            self._pool.submit(self._upload, imgs_l, imgs_r), n_valid))
+        if len(self._upload_q) >= 2:
+            up = self._upload_q.pop(0)
+            self._dispatch(up.fut.result(), up.n_valid)
         if len(self._pending) >= 2:
             self._settle_one()
 
+    @staticmethod
+    def _upload(imgs_l, imgs_r):
+        stacked = np.stack([np.asarray(imgs_l), np.asarray(imgs_r)])
+        return jax.device_put(stacked)
+
     def _submit(self, imgs_l, imgs_r, n_valid):
+        """Unpipelined submit (upload inline, then dispatch)."""
+        self._dispatch(self._upload(imgs_l, imgs_r), n_valid)
+
+    def _dispatch(self, imgs, n_valid):
         assert self.prev_pts is not None, "call initialize() first"
         if self.loop_closer is not None:
             bows_p = self.loop_closer.db.bows_p
@@ -312,8 +358,7 @@ class FusedPLSLAM:
             bows_p = bows_l = self._dummy_bows
         (host_blk, state, bows_p2, bows_l2, crit2,
          last_p, last_l, DT_next) = self._step(
-            jnp.asarray(imgs_l), jnp.asarray(imgs_r),
-            self.prev_pts, self.prev_lns, self.DT_prev,
+            imgs, self.prev_pts, self.prev_lns, self.DT_prev,
             self._crit, self.state, bows_p, bows_l)
         with self._lock:
             self.state = state
@@ -393,6 +438,9 @@ class FusedPLSLAM:
         return n_kfs_new
 
     def _settle_all(self):
+        while self._upload_q:
+            up = self._upload_q.pop(0)
+            self._dispatch(up.fut.result(), up.n_valid)
         while self._pending:
             self._settle_one()
 
@@ -433,4 +481,4 @@ class FusedPLSLAM:
         return np.stack(out)
 
     def close(self):
-        pass
+        self._pool.shutdown(wait=False)

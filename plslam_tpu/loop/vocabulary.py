@@ -169,13 +169,23 @@ def default_vocabulary(kind: str = "orb", k: int = 10, levels: int = 4
     as DBoW2's vocabularies are trained offline on image corpora."""
     path = _DEFAULT_PATH.replace(
         ".npz", f"_{kind}_{k}_{levels}_v{_VOCAB_VERSION}.npz")
+    # process-level cache: every LoopCloser sees the SAME Vocabulary
+    # object, so jitted programs closed over it (the fused SLAM step)
+    # can be reused across driver instances by object identity
+    if path in _VOCAB_CACHE:
+        return _VOCAB_CACHE[path]
     if os.path.exists(path):
-        return load_vocabulary(path)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    desc = build_default_corpus(kind)
-    voc = build_vocabulary(desc, k=k, levels=levels, seed=1)
-    save_vocabulary(voc, path)
+        voc = load_vocabulary(path)
+    else:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        desc = build_default_corpus(kind)
+        voc = build_vocabulary(desc, k=k, levels=levels, seed=1)
+        save_vocabulary(voc, path)
+    _VOCAB_CACHE[path] = voc
     return voc
+
+
+_VOCAB_CACHE: dict = {}
 
 
 def build_default_corpus(kind: str, n_scenes: Optional[int] = None,
