@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from plslam_tpu.backend.map_handler import mapping_step
+from plslam_tpu.backend.map_handler import mapping_step_traced_lba
 from plslam_tpu.core import lie
 from plslam_tpu.ops import hamming
 
@@ -56,13 +56,27 @@ def backend_slots(state, bows_p, bows_l, all_pts, all_lns, frame_idx,
             out = out._replace(desc=hamming.unpack_bits(out.desc))
         return out
 
-    def do(ops, pts_j, lns_j, T_rel):
+    # strided LBA (MappingConfig.lba_kf_stride): every slot inserts its
+    # KF, but the window LBA + KF retirement run on every Nth valid
+    # slot counted from the chunk's END — the last KF always solves, so
+    # the window covers every insertion while the per-chunk LBA count
+    # drops ~Nx (at the bench's ~2.7 KFs/chunk, stride 3 usually means
+    # one LBA per chunk; stride 1 = the reference's per-KF cadence).
+    stride = max(int(cfg.mapping.lba_kf_stride), 1)
+    if stride > 1:
+        rank = jnp.cumsum(kf_valid.astype(jnp.int32)) - 1
+        n_valid = jnp.sum(kf_valid.astype(jnp.int32))
+        from_end = n_valid - 1 - rank
+        lba_flags = kf_valid & (jnp.mod(from_end, stride) == 0)
+    else:
+        lba_flags = kf_valid
+
+    def do(ops, pts_j, lns_j, T_rel, lba_j):
         state, bows_p, bows_l = ops
         anchor = state.kf_pose[jnp.maximum(state.n_kfs - 1, 0)]
         T_w_kf = lie.mm(anchor, T_rel)
-        state, diag, c0, c1 = mapping_step(
-            state, pts_j, lns_j, T_w_kf, cam, cfg,
-            run_lba_flag=True)
+        state, diag, c0, c1, pt_ov, ln_ov = mapping_step_traced_lba(
+            state, pts_j, lns_j, T_w_kf, cam, cfg, lba_j)
         slot = diag["kf_slot"]
         if probe_on:
             bows_p, bows_l, s, cv, pose = probe(
@@ -75,14 +89,13 @@ def backend_slots(state, bows_p, bows_l, all_pts, all_lns, frame_idx,
         stat = jnp.stack([
             f32(c0), f32(c1), f32(diag["n_map_matches"]),
             f32(diag["n_new_points"]),
-            f32(diag.get("lba_pt_overflow", 0)),
-            f32(diag.get("lba_ln_overflow", 0)),
+            f32(pt_ov), f32(ln_ov),
             f32(slot)])   # device-side KF slot: the host pipelines chunk
                           # submissions ahead of settles, so only the
                           # program knows the true slot numbering
         return state, bows_p, bows_l, (s, cv, pose, stat)
 
-    def skip(ops, pts_j, lns_j, T_rel):
+    def skip(ops, pts_j, lns_j, T_rel, lba_j):
         state, bows_p, bows_l = ops
         zero = (jnp.zeros((F,), jnp.float32),
                 jnp.zeros((F,), jnp.float32),
@@ -94,16 +107,17 @@ def backend_slots(state, bows_p, bows_l, all_pts, all_lns, frame_idx,
     # traces the same mapping_step+probe body, so the scan compiles it
     # ONCE — kf_batch can grow without multiplying compile time
     def slot_body(carry, xs):
-        idx_j, valid_j, T_rel_j = xs
+        idx_j, valid_j, T_rel_j, lba_j = xs
         pts_j = slice_frame(all_pts, idx_j)
         lns_j = (slice_frame(all_lns, idx_j)
                  if all_lns is not None else None)
         state, bows_p, bows_l, out_j = lax.cond(
-            valid_j, do, skip, carry, pts_j, lns_j, T_rel_j)
+            valid_j, do, skip, carry, pts_j, lns_j, T_rel_j, lba_j)
         return (state, bows_p, bows_l), out_j
 
     (state, bows_p, bows_l), (scores, covis, poses, stats) = lax.scan(
-        slot_body, (state, bows_p, bows_l), (frame_idx, kf_valid, T_rels))
+        slot_body, (state, bows_p, bows_l),
+        (frame_idx, kf_valid, T_rels, lba_flags))
     return state, bows_p, bows_l, scores, covis, poses, stats
 
 

@@ -157,6 +157,47 @@ def mapping_step(state: MapState, pts, lns, T_w_kf, cam: StereoCamera,
     return state, diag, c0, c1
 
 
+def mapping_step_traced_lba(state: MapState, pts, lns, T_w_kf,
+                            cam: StereoCamera, cfg: SlamConfig,
+                            lba_flag):
+    """mapping_step with a TRACED LBA flag: KF insertion always runs;
+    the LBA + KF-retirement block runs under ``lax.cond(lba_flag)``.
+
+    This backs the strided-LBA mode (MappingConfig.lba_kf_stride): the
+    fused chunk back-end inserts every keyframe of a chunk but runs the
+    window LBA only on every Nth one counted from the chunk's end (the
+    last always solves), so the window still covers every insertion
+    while the LBA count drops ~Nx (the reference, with a free CPU
+    thread, re-solves per KF: mapHandler.cpp::localBundleAdjustment).
+
+    Returns (state, diag, c0, c1, pt_overflow, ln_overflow)."""
+    state, diag = add_keyframe(state, pts, lns, T_w_kf, cam, cfg)
+
+    def with_lba(s):
+        s, c0, c1, lba_diag = run_window_lba(s, cam, cfg)
+        s, _ = remove_redundant_kfs(s, cfg)
+        every = cfg.mapping.global_kf_sweep_every
+        if every > 0:
+            s = jax.lax.cond(
+                jnp.mod(s.n_kfs, every) == 0,
+                lambda x: remove_redundant_kfs_global(x, cfg)[0],
+                lambda x: x, s)
+        f32 = jnp.float32
+        return (s, jnp.asarray(c0, f32), jnp.asarray(c1, f32),
+                jnp.asarray(lba_diag.get("lba_pt_overflow", 0), jnp.int32),
+                jnp.asarray(lba_diag.get("lba_ln_overflow", 0), jnp.int32))
+
+    def no_lba(s):
+        z = jnp.asarray(0.0, jnp.float32)
+        zi = jnp.asarray(0, jnp.int32)
+        return s, z, z, zi, zi
+
+    state, c0, c1, pt_ov, ln_ov = jax.lax.cond(
+        lba_flag, with_lba, no_lba, state)
+    state = cull_landmarks(state, cfg)
+    return state, diag, c0, c1, pt_ov, ln_ov
+
+
 class KeyFrameSummary(NamedTuple):
     slot: int
     T_w_kf: np.ndarray          # corrected pose after LBA

@@ -132,6 +132,13 @@ class TrackingConfig:
     homog_th: float = 1e-7          # near-homogeneous-point guard
     min_features: int = 12          # gate: solution invalid below this (ref: min_features)
     min_inlier_ratio: float = 0.3
+    lite_pass_iters: int = 6        # batched-mode non-final passes run a
+    lite_pass_iters_ref: int = 4    # shortened GN (they only produce the
+                                    # next pass's prior); 0 = full GN on
+                                    # every pass. (6,4) measured ATE-
+                                    # neutral on the loop scenes; (4,3)
+                                    # already cost ~13% ATE
+
     max_optim_error: float = 20.0   # gate on residual norm after opt
     lm_init_lambda: float = 1e-4    # LM fallback damping
     prior_weight: float = 0.0       # optional constant-velocity prior strength
@@ -163,6 +170,13 @@ class MappingConfig:
     """Local map + LBA (reference: mapHandler.cpp / slamConfig.cpp)."""
     window_kfs: int = 6             # LBA sliding window size (local KFs)
     fixed_kfs: int = 4              # older KFs held fixed but observing
+    lba_kf_stride: int = 3          # chunked back-end: run the window
+                                    # LBA on every Nth KF of a chunk,
+                                    # counted from the chunk's END (the
+                                    # last KF always runs it, so the
+                                    # window covers every insertion
+                                    # while staying < window_kfs behind)
+                                    # 1 = the reference's per-KF cadence
     max_kfs: int = 512              # global KF capacity
     max_points: int = 8192          # global map point capacity
     max_lines: int = 1024           # global map line capacity

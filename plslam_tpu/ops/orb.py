@@ -86,6 +86,27 @@ def _make_rotated_tables() -> np.ndarray:
 
 _ROT_TABLES = _make_rotated_tables()
 
+# (BINS, 31*32, 64) one-hot pool-selection tensors over a flattened
+# 31-row x 32-col patch: pool[k, p] = patch_k[(dy+15)*32 + (dx+15)] for
+# (dy, dx) = _ROT_TABLES[bin_k, p]. Lets the pooled sample run as a
+# patch slice + MXU contraction instead of a 2.6M-element scalar gather
+# (the gather measured 32 ms per 20-frame chunk; see describe_multilevel).
+_PATCH_ROWS = 2 * PATCH_HALF + 1          # 31
+_PATCH_COLS = _PATCH_ROWS + 1             # 32 (room for dx+15 <= 30, even)
+
+
+def _make_patch_select() -> np.ndarray:
+    sel = np.zeros((N_ANGLE_BINS, _PATCH_ROWS * _PATCH_COLS, N_POOL),
+                   np.float32)
+    for b in range(N_ANGLE_BINS):
+        for p in range(N_POOL):
+            dy, dx = _ROT_TABLES[b, p]
+            sel[b, (dy + PATCH_HALF) * _PATCH_COLS + (dx + PATCH_HALF), p] = 1.0
+    return sel
+
+
+_PATCH_SELECT = _make_patch_select()
+
 _d = np.arange(-PATCH_HALF, PATCH_HALF + 1).astype(np.float32)
 _ONES = np.ones_like(_d)
 # half-resolution variant: 15-tap kernels on a 2x-downsampled image give
@@ -159,7 +180,19 @@ def describe_multilevel(levels, uv: jnp.ndarray, octave: jnp.ndarray
     half_W = jnp.asarray([s[1] for s in half_shapes], jnp.int32)
     half_Hm = jnp.asarray([s[0] for s in half_shapes], jnp.int32)
 
-    flat_full = jnp.concatenate([lvl.reshape(-1) for lvl in levels])
+    # levels stacked VERTICALLY, right-padded to a common width: keeps
+    # the pyramid 2D so each keypoint's 31x32 patch is one contiguous
+    # dynamic slice (patch rows never cross a level boundary because v
+    # is clipped inside its level)
+    Wmax = max(s[1] for s in full_shapes)
+    stack2d = jnp.concatenate(
+        [jnp.pad(lvl, ((0, 0), (0, Wmax - s[1])))
+         for lvl, s in zip(levels, full_shapes)], axis=0)
+    row_bases = [0]
+    for (h, _w) in full_shapes:
+        row_bases.append(row_bases[-1] + h)
+    row_base = jnp.asarray(row_bases[:-1], jnp.int32)
+
     flat_m10 = jnp.concatenate([m.reshape(-1) for m in m10s])
     flat_m01 = jnp.concatenate([m.reshape(-1) for m in m01s])
 
@@ -167,7 +200,7 @@ def describe_multilevel(levels, uv: jnp.ndarray, octave: jnp.ndarray
     # K-length per-keypoint level constants (tiny gathers)
     fW = jnp.take(full_W, oct_i)
     fH = jnp.take(full_Hm, oct_i)
-    fB = jnp.take(full_base, oct_i)
+    rB = jnp.take(row_base, oct_i)
     hW = jnp.take(half_W, oct_i)
     hH = jnp.take(half_Hm, oct_i)
     hB = jnp.take(half_base, oct_i)
@@ -178,22 +211,33 @@ def describe_multilevel(levels, uv: jnp.ndarray, octave: jnp.ndarray
     hidx = hB + v2 * hW + u2
     theta = jnp.arctan2(jnp.take(flat_m01, hidx), jnp.take(flat_m10, hidx))
 
-    # --- steered pool gather over the concatenated pyramid ---------------
+    # --- steered pool sampling: patch slice + MXU one-hot selection ------
+    # One contiguous (31, 32) dynamic slice per keypoint replaces the
+    # 2.6M-element scalar gather (which serialized per element on TPU:
+    # 32 ms/20-frame chunk); the angle-discretized rotation then happens
+    # as a (K, 992) x (992, BINS*64) selection matmul + a bin one-hot
+    # contraction — exact one-hot selection run at HIGHEST precision so
+    # pixel values pass through the MXU unrounded.
     bins = jnp.mod(jnp.round(theta * (N_ANGLE_BINS / (2.0 * jnp.pi))),
                    N_ANGLE_BINS).astype(jnp.int32)
     onehot = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=jnp.float32)
-    tables = jnp.asarray(_ROT_TABLES.reshape(N_ANGLE_BINS, -1), jnp.float32)
-    offs = jnp.dot(onehot, tables,
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
-    offs = offs.reshape(K, N_POOL, 2)
     u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), PATCH_HALF,
-                 fW - 1 - PATCH_HALF)
+                 fW - _PATCH_COLS + PATCH_HALF)   # col0 + 32 <= level W
     v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), PATCH_HALF,
                  fH - 1 - PATCH_HALF)
-    flat_idx = (fB[:, None] + (v[:, None] + offs[..., 0]) * fW[:, None]
-                + (u[:, None] + offs[..., 1]))
-    pool = jnp.take(flat_full, flat_idx.reshape(-1), axis=0)
-    pool = pool.reshape(K, N_POOL)
+    row0 = rB + v - PATCH_HALF
+    col0 = u - PATCH_HALF
+    patches = jax.vmap(lambda r, c: jax.lax.dynamic_slice(
+        stack2d, (r, c), (_PATCH_ROWS, _PATCH_COLS)))(row0, col0)
+    Y = patches.reshape(K, _PATCH_ROWS * _PATCH_COLS)
+    sel2 = jnp.asarray(
+        _PATCH_SELECT.transpose(1, 0, 2).reshape(
+            _PATCH_ROWS * _PATCH_COLS, N_ANGLE_BINS * N_POOL))
+    picked = jnp.dot(Y, sel2, precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    picked = picked.reshape(K, N_ANGLE_BINS, N_POOL)
+    pool = jnp.einsum("kb,kbp->kp", onehot, picked,
+                      precision=jax.lax.Precision.HIGHEST)
     bits = (jnp.dot(pool, jnp.asarray(_PAIR_DIFF),
                     preferred_element_type=jnp.float32) > 0)
     return bits.astype(jnp.uint8), theta

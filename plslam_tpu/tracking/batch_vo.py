@@ -142,30 +142,43 @@ def _chunk_tracking_batched(pts, lns, prev_pts, prev_lns, T_prior0, cam,
     prev_p = shift(prev_pts, pts)
     prev_l = shift(prev_lns, lns) if lns is not None else None
 
-    def one(prev_pi, prev_li, pts_i, lns_i, Tp):
+    def one(prev_pi, prev_li, pts_i, lns_i, Tp, c):
         if pts_i.uv.shape[0] > 0:
-            mres = match_f2f_points(prev_pi, pts_i, Tp, cam, cfg)
+            mres = match_f2f_points(prev_pi, pts_i, Tp, cam, c)
             terms = build_point_terms(prev_pi, pts_i, mres)
         else:  # lines-only configuration (has_points=false)
             terms = pose_gn.PointTerms(jnp.zeros((0, 3)), jnp.zeros((0, 2)),
                                        jnp.zeros((0,), bool))
         if prev_li is not None:
-            ml = match_f2f_lines(prev_li, lns_i, Tp, cam, cfg)
+            ml = match_f2f_lines(prev_li, lns_i, Tp, cam, c)
             ln_terms = build_line_terms(prev_li, lns_i, ml)
         else:
             ln_terms = None
-        return pose_gn.optimize_pose(Tp, cam, terms, ln_terms, cfg)
+        return pose_gn.optimize_pose(Tp, cam, terms, ln_terms, c)
 
-    if lns is None:
-        solve = jax.vmap(lambda a, c, t: one(a, None, c, None, t))
-        args = (prev_p, pts)
-    else:
-        solve = jax.vmap(one)
-        args = (prev_p, prev_l, pts, lns)
+    # non-final passes only produce the PRIOR for the next pass, so they
+    # run a shortened GN (the final full pass converges from any nearby
+    # prior); a pair that never solves in the final pass keeps its lite
+    # result — still outlier-gated, just fewer polish iterations
+    lp = cfg.tracking.lite_pass_iters
+    cfg_lite = (cfg.with_updates(
+        {"tracking": {"max_iters": lp,
+                      "max_iters_ref": cfg.tracking.lite_pass_iters_ref}})
+        if lp > 0 and cfg.tracking.chunk_passes > 1 else cfg)
 
+    def mk_solve(c):
+        if lns is None:
+            return jax.vmap(lambda a, cc, t: one(a, None, cc, None, t, c))
+        return jax.vmap(lambda a, b2, cc, d, t: one(a, b2, cc, d, t, c))
+
+    solve = mk_solve(cfg)
+    solve_lite = mk_solve(cfg_lite)
+    args = (prev_p, pts) if lns is None else (prev_p, prev_l, pts, lns)
+
+    n_passes = max(cfg.tracking.chunk_passes, 1)
     T_pri = jnp.broadcast_to(T_prior0, (B, 4, 4))
-    res = solve(*args, T_pri)
-    for _ in range(max(cfg.tracking.chunk_passes - 1, 0)):
+    res = (solve_lite if n_passes > 1 else solve)(*args, T_pri)
+    for k in range(n_passes - 1):
         # re-solve around each pair's own estimate; pairs whose solve
         # failed so far retry from their left neighbor's estimate
         # (consecutive pairs have near-identical motion), falling back
@@ -174,7 +187,7 @@ def _chunk_tracking_batched(pts, lns, prev_pts, prev_lns, T_prior0, cam,
         nb_good = jnp.concatenate([jnp.zeros((1,), bool), res.good[:-1]])
         T_pri = jnp.where(res.good[:, None, None], res.T,
                           jnp.where(nb_good[:, None, None], nb_T, T_pri))
-        res_new = solve(*args, T_pri)
+        res_new = (solve if k == n_passes - 2 else solve_lite)(*args, T_pri)
         # keep the best result per pair: a pair that solved in an earlier
         # pass must not lose its estimate to a later failed re-solve
         keep_new = res_new.good | ~res.good

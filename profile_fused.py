@@ -44,16 +44,31 @@ def main():
 
     def run(report):
         t_submit, t_settle, t_block = [], [], []
+        t_upw, t_disp = [], []
         slam = FusedPLSLAM(cfg, cam)
         slam.initialize(il[0], ir[0])
         t_start = time.perf_counter()
         for lo in range(1, n, chunk):
             t0 = time.perf_counter()
-            slam._submit(il[lo:lo + chunk], ir[lo:lo + chunk], None)
+            # inline process_chunk with phase timers
+            from plslam_tpu.backend.fused_slam import _PendingUpload
+            slam._upload_q.append(_PendingUpload(
+                slam._pool.submit(slam._upload, il[lo:lo + chunk],
+                                  ir[lo:lo + chunk]), None))
+            tA = time.perf_counter()
+            if len(slam._upload_q) >= 2:
+                up = slam._upload_q.pop(0)
+                imgs = up.fut.result()
+                tB = time.perf_counter()
+                slam._dispatch(imgs, up.n_valid)
+                tC = time.perf_counter()
+                t_upw.append(tB - tA)
+                t_disp.append(tC - tB)
             t1 = time.perf_counter()
             if block:    # unpipelined: true device wall time per program
                 import jax
-                jax.block_until_ready(slam._pending[-1].host_ref)
+                if slam._pending:
+                    jax.block_until_ready(slam._pending[-1].host_ref)
                 t1b = time.perf_counter()
                 t_block.append(t1b - t1)
             if len(slam._pending) >= 2:
@@ -73,6 +88,11 @@ def main():
             print(f"settle sum : {sum(t_settle)*1e3:8.1f} ms "
                   f"(per chunk: {[f'{t*1e3:.0f}' for t in t_settle]})")
             print(f"finish     : {(t4-t3)*1e3:8.1f} ms")
+            if t_upw:
+                print(f"upload-wait: {sum(t_upw)*1e3:8.1f} ms "
+                      f"(per chunk: {[f'{t*1e3:.0f}' for t in t_upw]})")
+                print(f"dispatch   : {sum(t_disp)*1e3:8.1f} ms "
+                      f"(per chunk: {[f'{t*1e3:.0f}' for t in t_disp]})")
             if t_block:
                 print(f"block sum  : {sum(t_block)*1e3:8.1f} ms "
                       f"(per chunk: {[f'{t*1e3:.0f}' for t in t_block]})")
