@@ -315,12 +315,22 @@ class FusedPLSLAM:
         if self.loop_closer is not None:
             self.loop_closer.on_keyframe(self, 0)
 
-    def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
+    def process_chunk(self, imgs_l, imgs_r=None,
                       n_valid: Optional[int] = None) -> None:
         """Queue a (B, H, W) stereo chunk. Three pipeline stages ride
         concurrently: the upload thread pushes chunk k+1's images while
         chunk k's program executes and chunk k-1's packed result is
         settled (depth-2 program pipelining).
+
+        ``imgs_l`` may instead be a DEVICE-RESIDENT stacked (2, B, H, W)
+        array (``imgs_r=None``): an ingest pipeline that already owns a
+        device buffer (prefetcher, decode-on-device, a previous stage's
+        output) skips the upload thread entirely. On this rig that is
+        also the only fast path once any device fetch has happened: the
+        tunnel's H2D bandwidth collapses from ~1.5 GB/s to ~35 MB/s
+        after the first D2H (measured, tools/bench_upload.py +
+        BASELINE.md), so streaming uploads cost ~0.5 s per 18 MB chunk
+        while pre-poison staging costs ~12 ms.
 
         Unlike the worker-thread driver, no strict-ordering fallback is
         needed around loop closures: every state mutation (chunk
@@ -330,8 +340,17 @@ class FusedPLSLAM:
         correction moves them coherently afterwards. A closure merely
         fires up to one chunk later than in depth-1 mode — the same
         bounded delay as the reference's mapping-thread pickup."""
-        self._upload_q.append(_PendingUpload(
-            self._pool.submit(self._upload, imgs_l, imgs_r), n_valid))
+        if imgs_r is None:
+            fut: "Future" = Future()
+            fut.set_result(imgs_l)      # already a (2, B, H, W) device ref
+            self._upload_q.append(_PendingUpload(fut, n_valid))
+        else:
+            # the host-side stack copy happens HERE (caller thread) so the
+            # caller's buffers may be reused as soon as we return; only
+            # the device_put rides the upload worker
+            stacked = np.stack([np.asarray(imgs_l), np.asarray(imgs_r)])
+            self._upload_q.append(_PendingUpload(
+                self._pool.submit(jax.device_put, stacked), n_valid))
         if len(self._upload_q) >= 2:
             up = self._upload_q.pop(0)
             self._dispatch(up.fut.result(), up.n_valid)

@@ -164,6 +164,35 @@ def tile_moment_maps(w: jnp.ndarray, d2x: jnp.ndarray, d2y: jnp.ndarray,
     return S, Sx, Sy, Sxx, Syy, Sxy, D2x, D2y
 
 
+def orientation_maps(d2x: jnp.ndarray, d2y: jnp.ndarray, tile: int,
+                     stride: int):
+    """Window sums of ONLY the double-angle orientation planes.
+
+    The level-line reweighting pass needs just (D2x, D2y) per tile; the
+    full tile_moment_maps also assembles six position-moment maps whose
+    matmuls are pure waste in that pass (~the whole row/column stage for
+    the coordinate-weighted operators). Returns (D2x, D2y), each
+    (Th, Tw), identical to tile_moment_maps' last two outputs.
+    """
+    assert tile == 2 * stride
+    H, W = d2x.shape
+    Ry0 = jnp.asarray(_blocksum_matrices(H, stride))[0]
+    Cx0 = jnp.asarray(_blocksum_matrices(W, stride))[0]
+    cat = jnp.concatenate([d2x, d2y], axis=1)          # (H, 2W)
+    r0 = _dot_hi(Ry0, cat)                             # (Hb, 2W)
+    blocks = _dot_hi(jnp.concatenate([r0[:, :W], r0[:, W:]], axis=0), Cx0.T)
+    Hb = r0.shape[0]
+    D2x8, D2y8 = blocks[:Hb], blocks[Hb:]
+    Th = (H - tile) // stride + 1
+    Tw = (W - tile) // stride + 1
+
+    def window(m):
+        return (m[:-1, :-1] + m[:-1, 1:] + m[1:, :-1]
+                + m[1:, 1:])[:Th, :Tw]
+
+    return window(D2x8), window(D2y8)
+
+
 def _principal_axis(sxx, syy, sxy):
     """Closed-form eigen-decomposition of [[sxx, sxy], [sxy, syy]].
 
@@ -290,8 +319,11 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     mag_safe = jnp.maximum(mag, 1e-9)
     d2x = jnp.where(w > 0, (gx * gx - gy * gy) / mag_safe, 0.0)
     d2y = jnp.where(w > 0, 2.0 * gx * gy / mag_safe, 0.0)
-    S, Sx, Sy, Sxx, Syy, Sxy, D2x, D2y = tile_moment_maps(
-        w, d2x, d2y, tile, stride)
+    # pass 1 only feeds the level-line reweighting below, which reads
+    # nothing but the per-tile dominant orientation — so only the two
+    # double-angle window sums are assembled (orientation_maps), not the
+    # six position moments
+    D2x, D2y = orientation_maps(d2x, d2y, tile, stride)
 
     # ---- level-line filtering (LSD's region-orientation test, tile-wise):
     # pass 2 recomputes the moments with each pixel reweighted by how
@@ -307,7 +339,11 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     Th0, Tw0 = u2x.shape
 
     def up(m):
-        full = jnp.repeat(jnp.repeat(m, stride, axis=0), stride, axis=1)
+        # nearest upsample as broadcast+reshape (jnp.repeat materializes
+        # a gather on TPU; a broadcast fuses into the consumers)
+        full = jnp.broadcast_to(m[:, None, :, None],
+                                (Th0, stride, Tw0, stride)
+                                ).reshape(Th0 * stride, Tw0 * stride)
         return jnp.pad(full, ((stride // 2, H - Th0 * stride - stride // 2),
                               (stride // 2, W - Tw0 * stride - stride // 2)),
                        mode="edge")
@@ -410,10 +446,14 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
 
     labels = lax.fori_loop(0, merge_iters, prop, labels)
 
-    # ---- per-label refit via ONE widened scatter-add -------------------
-    # TPU scatters serialize over indices; nine separate (n,) scatters
-    # cost 9x the index traversals of one (n, 8) row scatter (each index
-    # moves a contiguous lane row). Measured ~3x faster end to end.
+    # ---- per-label refit in COMPACT root space -------------------------
+    # Only ~hundreds of tiles survive the gates, and at most 2*max_lines
+    # merged segments are ever consumed — so the member aggregation runs
+    # on (R, n) with R = a root capacity, not (n, n): roots are selected
+    # by their own tile mass with top_k, membership is a (R, n) one-hot
+    # compare, and every aggregation is an MXU contraction over it.
+    # (Full-width alternatives measured: (n,) scatter-adds serialize per
+    # index; an (n, n) one-hot materializes a 200 MB pred mask.)
     flat = lambda a: a.reshape(-1)
     lab = flat(labels)
     n_slots = Th * Tw + 8
@@ -438,7 +478,19 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     payload = jnp.stack([fS, Sx_c, Sy_c, Sxx_c, Syy_c, Sxy_c,
                          jnp.ones((Th * Tw,), S.dtype)], axis=-1)
     payload = jnp.where(valid_t[:, None], payload, 0.0)
-    agg = jnp.zeros((n_slots, 7), S.dtype).at[lab].add(payload)
+
+    # root selection: a tile is a root iff it kept its own label; take
+    # up to R of them by own-tile support mass (bounded-recall cap — the
+    # gates leave O(hundreds) of valid tiles, R = 4*2*max_lines covers
+    # them with headroom, and the stage-1 output is capped at
+    # 2*max_lines anyway)
+    R = min(8 * max_lines, Th * Tw)
+    tile_ids = jnp.arange(Th * Tw, dtype=jnp.int32)
+    is_root_t = valid_t & (lab == tile_ids)
+    r_s, r_ids = lax.top_k(jnp.where(is_root_t, fS, -1.0), R)
+    root_id = jnp.where(r_s > 0, jnp.take(tile_ids, r_ids), -1)
+    member = (root_id[:, None] == lab[None, :])             # (R, n)
+    agg = _dot_hi(member.astype(S.dtype), payload)          # (R, 7)
     mS, mSx, mSy, mSxx, mSyy, mSxy, owns = [agg[:, i] for i in range(7)]
     mS_safe = jnp.maximum(mS, 1e-6)
     mcx = mSx / mS_safe                       # image-center coords
@@ -448,29 +500,24 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     mcxy = mSxy / mS_safe - mcx * mcy
     _, _, mdx, mdy = _principal_axis(mcxx, mcyy, mcxy)
 
-    # endpoints: min/max projection of member tile centroids (+- their own
-    # half-extent along the merged direction). The per-member root lookup
-    # is ONE widened MXU gather of (mdx, mdy, mdx*mcx + mdy*mcy) rows.
+    # endpoints: min/max projection of member tile centroids (+- their
+    # own half-extent along the merged direction), as masked reductions
+    # over the (R, n) membership
     half_ext = jnp.sqrt(jnp.maximum(12.0 * l1, 0.0)) * 0.5   # per tile
-    root_rows = take_mxu(
-        jnp.stack([mdx, mdy, mdx * mcx + mdy * mcy], axis=-1), lab)
-    proj_c = ((flat(cx) - x0) * root_rows[:, 0]
-              + (flat(cy) - y0) * root_rows[:, 1] - root_rows[:, 2])
     he = flat(half_ext)
+    pc = ((flat(cx) - x0)[None, :] * mdx[:, None]
+          + (flat(cy) - y0)[None, :] * mdy[:, None]
+          - (mdx * mcx + mdy * mcy)[:, None])               # (R, n)
     INF = jnp.float32(1e9)
-    # min and max as ONE min-scatter: max(v) = -min(-v)
-    ext = jnp.stack([proj_c - he, -(proj_c + he)], axis=-1)
-    ext = jnp.where(valid_t[:, None], ext, INF)
-    pext = jnp.full((n_slots, 2), INF).at[lab].min(ext)
-    pmin, pmax = pext[:, 0], -pext[:, 1]
+    pmin = jnp.min(jnp.where(member, pc - he[None, :], INF), axis=1)
+    pmax = jnp.max(jnp.where(member, pc + he[None, :], -INF), axis=1)
 
-    # a label is a real segment iff it is its own root and has support.
-    # Stage-1 keeps FRAGMENTS down to one tile long (occlusions and
-    # locally failed tiles break chains); the segment-level collinear
-    # merge below reassembles them, and only the merged segments face
+    # a root slot is a real segment iff it aggregated support. Stage-1
+    # keeps FRAGMENTS down to one tile long (occlusions and locally
+    # failed tiles break chains); the segment-level collinear merge
+    # below reassembles them, and only merged segments face
     # ``min_length``.
-    slot_ids = jnp.arange(n_slots, dtype=jnp.int32)
-    root_ok = (mS > 0) & (owns > 0) & (slot_ids < Th * Tw)
+    root_ok = (root_id >= 0) & (mS > 0) & (owns > 0)
     length = jnp.where(root_ok, pmax - pmin, 0.0)
     seg_ok = root_ok & (length > min(0.75 * tile + stride, min_length))
 

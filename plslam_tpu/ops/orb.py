@@ -86,26 +86,13 @@ def _make_rotated_tables() -> np.ndarray:
 
 _ROT_TABLES = _make_rotated_tables()
 
-# (BINS, 31*32, 64) one-hot pool-selection tensors over a flattened
-# 31-row x 32-col patch: pool[k, p] = patch_k[(dy+15)*32 + (dx+15)] for
-# (dy, dx) = _ROT_TABLES[bin_k, p]. Lets the pooled sample run as a
-# patch slice + MXU contraction instead of a 2.6M-element scalar gather
-# (the gather measured 32 ms per 20-frame chunk; see describe_multilevel).
-_PATCH_ROWS = 2 * PATCH_HALF + 1          # 31
-_PATCH_COLS = _PATCH_ROWS + 1             # 32 (room for dx+15 <= 30, even)
-
-
-def _make_patch_select() -> np.ndarray:
-    sel = np.zeros((N_ANGLE_BINS, _PATCH_ROWS * _PATCH_COLS, N_POOL),
-                   np.float32)
-    for b in range(N_ANGLE_BINS):
-        for p in range(N_POOL):
-            dy, dx = _ROT_TABLES[b, p]
-            sel[b, (dy + PATCH_HALF) * _PATCH_COLS + (dx + PATCH_HALF), p] = 1.0
-    return sel
-
-
-_PATCH_SELECT = _make_patch_select()
+# (BINS, 128) per-bin rotated pool offsets as [dy row | dx row]; values
+# are <= PATCH_HALF in magnitude, so the one-hot selection matmul is
+# exact even through the TPU's default bf16 matmul pass (a flat
+# dy*W + dx table is NOT: offsets ~1e4 round to +-64 in bf16 — measured
+# as ~86/256 corrupted descriptor bits before the split)
+_ROT_DYDX = np.concatenate(
+    [_ROT_TABLES[:, :, 0], _ROT_TABLES[:, :, 1]], axis=1).astype(np.float32)
 
 _d = np.arange(-PATCH_HALF, PATCH_HALF + 1).astype(np.float32)
 _ONES = np.ones_like(_d)
@@ -161,6 +148,12 @@ def describe_multilevel(levels, uv: jnp.ndarray, octave: jnp.ndarray
 
     # --- per-level static tables -----------------------------------------
     full_shapes = [lvl.shape for lvl in levels]
+    # center clipping keeps every +-PATCH_HALF sample inside its level;
+    # that needs each level to span at least one valid center
+    assert all(s[0] >= 2 * PATCH_HALF + 1 and s[1] >= 2 * PATCH_HALF + 1
+               for s in full_shapes), (
+        f"pyramid level smaller than the {2*PATCH_HALF+1}px ORB patch: "
+        f"{full_shapes} — drop levels below that at pyramid construction")
     halves = [resize_bilinear(lvl, (s[0] // 2, s[1] // 2))
               for lvl, s in zip(levels, full_shapes)]
     m10s = [separable_filter2d(h, _d_h, _ONES_H) for h in halves]
@@ -180,19 +173,7 @@ def describe_multilevel(levels, uv: jnp.ndarray, octave: jnp.ndarray
     half_W = jnp.asarray([s[1] for s in half_shapes], jnp.int32)
     half_Hm = jnp.asarray([s[0] for s in half_shapes], jnp.int32)
 
-    # levels stacked VERTICALLY, right-padded to a common width: keeps
-    # the pyramid 2D so each keypoint's 31x32 patch is one contiguous
-    # dynamic slice (patch rows never cross a level boundary because v
-    # is clipped inside its level)
-    Wmax = max(s[1] for s in full_shapes)
-    stack2d = jnp.concatenate(
-        [jnp.pad(lvl, ((0, 0), (0, Wmax - s[1])))
-         for lvl, s in zip(levels, full_shapes)], axis=0)
-    row_bases = [0]
-    for (h, _w) in full_shapes:
-        row_bases.append(row_bases[-1] + h)
-    row_base = jnp.asarray(row_bases[:-1], jnp.int32)
-
+    flat_img = jnp.concatenate([lvl.reshape(-1) for lvl in levels])
     flat_m10 = jnp.concatenate([m.reshape(-1) for m in m10s])
     flat_m01 = jnp.concatenate([m.reshape(-1) for m in m01s])
 
@@ -200,7 +181,7 @@ def describe_multilevel(levels, uv: jnp.ndarray, octave: jnp.ndarray
     # K-length per-keypoint level constants (tiny gathers)
     fW = jnp.take(full_W, oct_i)
     fH = jnp.take(full_Hm, oct_i)
-    rB = jnp.take(row_base, oct_i)
+    fB = jnp.take(full_base, oct_i)
     hW = jnp.take(half_W, oct_i)
     hH = jnp.take(half_Hm, oct_i)
     hB = jnp.take(half_base, oct_i)
@@ -211,33 +192,29 @@ def describe_multilevel(levels, uv: jnp.ndarray, octave: jnp.ndarray
     hidx = hB + v2 * hW + u2
     theta = jnp.arctan2(jnp.take(flat_m01, hidx), jnp.take(flat_m10, hidx))
 
-    # --- steered pool sampling: patch slice + MXU one-hot selection ------
-    # One contiguous (31, 32) dynamic slice per keypoint replaces the
-    # 2.6M-element scalar gather (which serialized per element on TPU:
-    # 32 ms/20-frame chunk); the angle-discretized rotation then happens
-    # as a (K, 992) x (992, BINS*64) selection matmul + a bin one-hot
-    # contraction — exact one-hot selection run at HIGHEST precision so
-    # pixel values pass through the MXU unrounded.
+    # --- steered pool sampling: ONE flat gather of K x 64 pixels ---------
+    # Angle is discretized to 32 bins; the per-keypoint rotated (dy, dx)
+    # row is selected with a tiny one-hot matmul (small integer values —
+    # bf16-exact), converted to flat offsets with integer arithmetic,
+    # and added to the keypoint's flat center index. The whole sample
+    # pool is then one 64-wide flat gather — measured 2x faster per
+    # chunk than the round-3 per-keypoint 31x32 dynamic_slice +
+    # selection matmuls, which XLA lowered to a serialized while loop
+    # (95 ms of a 125 ms points stage at B=40).
     bins = jnp.mod(jnp.round(theta * (N_ANGLE_BINS / (2.0 * jnp.pi))),
                    N_ANGLE_BINS).astype(jnp.int32)
     onehot = jax.nn.one_hot(bins, N_ANGLE_BINS, dtype=jnp.float32)
+    dydx = jnp.dot(onehot, jnp.asarray(_ROT_DYDX),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    dy, dx = dydx[:, :N_POOL], dydx[:, N_POOL:]
     u = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), PATCH_HALF,
-                 fW - _PATCH_COLS + PATCH_HALF)   # col0 + 32 <= level W
+                 fW - 1 - PATCH_HALF)
     v = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), PATCH_HALF,
                  fH - 1 - PATCH_HALF)
-    row0 = rB + v - PATCH_HALF
-    col0 = u - PATCH_HALF
-    patches = jax.vmap(lambda r, c: jax.lax.dynamic_slice(
-        stack2d, (r, c), (_PATCH_ROWS, _PATCH_COLS)))(row0, col0)
-    Y = patches.reshape(K, _PATCH_ROWS * _PATCH_COLS)
-    sel2 = jnp.asarray(
-        _PATCH_SELECT.transpose(1, 0, 2).reshape(
-            _PATCH_ROWS * _PATCH_COLS, N_ANGLE_BINS * N_POOL))
-    picked = jnp.dot(Y, sel2, precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
-    picked = picked.reshape(K, N_ANGLE_BINS, N_POOL)
-    pool = jnp.einsum("kb,kbp->kp", onehot, picked,
-                      precision=jax.lax.Precision.HIGHEST)
+    center = fB + v * fW + u
+    offs = dy * fW[:, None] + dx          # per-keypoint level row stride
+    pool = jnp.take(flat_img, (center[:, None] + offs).reshape(-1))
+    pool = pool.reshape(K, N_POOL)
     bits = (jnp.dot(pool, jnp.asarray(_PAIR_DIFF),
                     preferred_element_type=jnp.float32) > 0)
     return bits.astype(jnp.uint8), theta

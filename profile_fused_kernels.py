@@ -42,11 +42,10 @@ def main():
 
     # capture steady-state inputs for one more chunk
     lo = n - chunk
-    imgs_l = jnp.asarray(il[lo:lo + chunk])
-    imgs_r = jnp.asarray(ir[lo:lo + chunk])
+    imgs = jnp.asarray(np.stack([il[lo:lo + chunk], ir[lo:lo + chunk]]))
     bows_p = slam.loop_closer.db.bows_p
     bows_l = slam.loop_closer.db.bows_l
-    args = (imgs_l, imgs_r, slam.prev_pts, slam.prev_lns, slam.DT_prev,
+    args = (imgs, slam.prev_pts, slam.prev_lns, slam.DT_prev,
             slam._crit, slam.state, bows_p, bows_l)
 
     fn = lambda: slam._step(*args)
@@ -71,10 +70,9 @@ def main():
     for it in range(6):
         t0 = time.perf_counter()
         (host_blk, state, bp, bl, crit, prev_pts, prev_lns,
-         DT_prev) = slam._step(jnp.asarray(il[lo:lo + chunk]),
-                               jnp.asarray(ir[lo:lo + chunk]),
-                               prev_pts, prev_lns, DT_prev, crit, state,
-                               bp, bl)
+         DT_prev) = slam._step(
+            jnp.asarray(np.stack([il[lo:lo + chunk], ir[lo:lo + chunk]])),
+            prev_pts, prev_lns, DT_prev, crit, state, bp, bl)
         jax.block_until_ready(host_blk)
         walls.append(time.perf_counter() - t0)
     walls = sorted(w * 1e3 for w in walls)
@@ -89,7 +87,7 @@ def main():
     for it in range(6):
         t0 = time.perf_counter()
         (host_blk, state, bp, bl, crit, prev_pts, prev_lns,
-         DT_prev) = slam._step(imgs_l, imgs_r, prev_pts, prev_lns,
+         DT_prev) = slam._step(imgs, prev_pts, prev_lns,
                                DT_prev, crit, state, bp, bl)
         jax.block_until_ready(host_blk)
         walls.append(time.perf_counter() - t0)
@@ -101,8 +99,9 @@ def main():
     walls = []
     for it in range(6):
         t0 = time.perf_counter()
-        out = slam._step(jnp.asarray(il[lo:lo + chunk]),
-                         jnp.asarray(ir[lo:lo + chunk]), *args[2:])
+        out = slam._step(
+            jnp.asarray(np.stack([il[lo:lo + chunk], ir[lo:lo + chunk]])),
+            *args[1:])
         jax.block_until_ready(out[0])
         walls.append(time.perf_counter() - t0)
     walls = sorted(w * 1e3 for w in walls)
@@ -113,11 +112,10 @@ def main():
     put_ms, disp_ms = [], []
     for it in range(6):
         t0 = time.perf_counter()
-        dl = jax.device_put(il[lo:lo + chunk])
-        dr = jax.device_put(ir[lo:lo + chunk])
-        jax.block_until_ready((dl, dr))
+        d = jax.device_put(np.stack([il[lo:lo + chunk], ir[lo:lo + chunk]]))
+        jax.block_until_ready(d)
         t1 = time.perf_counter()
-        out = slam._step(dl, dr, *args[2:])
+        out = slam._step(d, *args[1:])
         jax.block_until_ready(out[0])
         t2 = time.perf_counter()
         put_ms.append((t1 - t0) * 1e3)
