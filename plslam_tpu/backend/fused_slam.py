@@ -146,6 +146,7 @@ _PS = 25
 
 
 _STEP_CACHE: dict = {}
+_STEP_CACHE_MAX = 8
 
 
 def make_fused_slam_step(cam: StereoCamera, cfg: SlamConfig, kmax: int,
@@ -160,15 +161,23 @@ def make_fused_slam_step(cam: StereoCamera, cfg: SlamConfig, kmax: int,
     Caching matters operationally: tracing + lowering this program costs
     ~10-15 s on this rig even with a warm persistent XLA compile cache,
     and a fresh ``@jax.jit`` closure per driver instance pays it again.
-    Keyed by config + camera values + vocabulary object identity (the
-    default vocabularies are themselves process-cached)."""
+    Keyed by config + camera values + the vocabularies' stable
+    ``origin`` identity (artifact path + size/mtime, or a build
+    digest) — never ``id()``, which a GC'd-and-reallocated Vocabulary
+    could alias onto a program traced for different constants. Bounded
+    FIFO (a long-lived process sweeping configs must not retain one
+    compiled program per config forever)."""
+    vkey = lambda v: (None if v is None
+                      else (v.origin or ("anon", id(v), v.k, v.levels)))
     key = (cfg, kmax,
            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
            float(cam.b), cam.width, cam.height,
-           id(voc_p), id(voc_l))
+           vkey(voc_p), vkey(voc_l))
     hit = _STEP_CACHE.get(key)
     if hit is not None:
         return hit
+    while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+        _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
     probe = None
     if voc_p is not None:
         from plslam_tpu.loop.loop_closer import probe_core
@@ -291,6 +300,8 @@ class FusedPLSLAM:
         self._last_step_host = np.eye(4, dtype=np.float32)
         self._T_wc = np.eye(4, dtype=np.float32)
         self._last_settled = None   # (kf_poses, last anchor) for online_pose
+        self._compacting = False
+        self.n_compactions = 0      # telemetry
 
     # -- MapHandler-compat shims (used by LoopCloser) ------------------------
     def wait_idle(self):
@@ -454,6 +465,16 @@ class FusedPLSLAM:
                     corrected = out
         self._last_settled = (np.asarray(kf_poses) if corrected is None
                               else corrected)
+        # KF-capacity management: when the next chunk could run into the
+        # slot ceiling, compact retired slots away (rare, stop-the-world;
+        # the reference deletes retired KeyFrames outright — mapHandler::
+        # removeRedundantKFs — so sequence length is unbounded there
+        # and, with this, here). Runs AFTER the settle so everything
+        # above used one consistent slot numbering.
+        if (not self._compacting
+                and self._next_slot >= self.cfg.mapping.max_kfs
+                - 2 * self.kmax):
+            self._compact()
         return n_kfs_new
 
     def _settle_all(self):
@@ -463,16 +484,102 @@ class FusedPLSLAM:
         while self._pending:
             self._settle_one()
 
+    def _compact(self):
+        """Stop-the-world KF-slot compaction (see backend.map.
+        compact_keyframes): drain the pipeline, drop retired slots on
+        device, then remap every slot-valued host structure — frame
+        anchors (re-expressed against the nearest surviving earlier KF
+        using the pre-compaction poses), the loop closer's graph edges
+        and BoW rows. Raises if compaction cannot free at least one
+        chunk's worth of slots (true capacity: raise mapping.max_kfs)."""
+        from plslam_tpu.backend.map import (compact_keyframes,
+                                            force_retire_kfs)
+        self._compacting = True
+        try:
+            self._settle_all()
+            F = self.cfg.mapping.max_kfs
+            target = F - 2 * self.kmax       # room the next chunks need
+            with self._lock:
+                n_live = int(jax.device_get(jnp.sum(
+                    self.state.kf_valid.astype(jnp.int32))))
+                if n_live >= target:
+                    # regular sweeps retired nothing the compaction can
+                    # reclaim: the sequence is genuinely non-redundant
+                    # and longer than max_kfs — evict under memory
+                    # pressure (most-redundant-then-oldest; see
+                    # backend.map.force_retire_kfs)
+                    # config-constant count (it is a static jit arg —
+                    # a data-dependent count would recompile per event)
+                    n_evict = min(max(2 * self.kmax, F // 8), F // 4)
+                    self.state, _ = force_retire_kfs(
+                        self.state, self.cfg, n_evict)
+                old_poses = np.asarray(jax.device_get(self.state.kf_pose))
+                new_state, exact_d, _floor_d, nv_d = compact_keyframes(
+                    self.state)
+                exact, nv = jax.device_get((exact_d, nv_d))
+                self.state = new_state
+            exact = np.asarray(exact)
+            nv = int(nv)
+            if nv >= target:
+                raise RuntimeError(
+                    f"KF capacity exhausted: {nv} live keyframes of "
+                    f"max_kfs={F} after compaction + eviction (window "
+                    "span leaves nothing evictable). Raise "
+                    "mapping.max_kfs for this sequence scale.")
+            # old slot of each surviving new slot (for anchor re-expression)
+            old_of_new = np.zeros((F,), np.int32)
+            for old, new in enumerate(exact):
+                if new >= 0:
+                    old_of_new[new] = old
+            # nearest surviving slot at-or-before each old slot
+            floor = np.maximum.accumulate(
+                np.where(exact >= 0, exact, -1))
+
+            def remap_anchor(s, T_rel):
+                s = min(int(s), F - 1)
+                if exact[s] >= 0:
+                    return (int(exact[s]), T_rel)
+                v = int(floor[s])            # new slot of survivor
+                if v < 0:
+                    return (0, T_rel)
+                T_surv = old_poses[old_of_new[v]]
+                T_new = (np.linalg.inv(T_surv) @ old_poses[s]
+                         @ T_rel).astype(np.float32)
+                return (v, T_new)
+
+            self._frame_anchor = [remap_anchor(s, T) for s, T in
+                                  self._frame_anchor]
+            self._kf_slot = remap_anchor(self._kf_slot,
+                                         np.eye(4, dtype=np.float32))[0]
+            self._next_slot = nv
+            if self.loop_closer is not None:
+                self.loop_closer.remap_slots(exact, nv)
+            with self._lock:
+                self._last_settled = np.asarray(
+                    jax.device_get(self.state.kf_pose))
+            self.n_compactions += 1
+        finally:
+            self._compacting = False
+
     # -- queries -------------------------------------------------------------
     @property
     def summaries(self):
         return list(self._records)
 
-    def online_pose(self) -> np.ndarray:
-        """Map-consistent CURRENT pose: the latest settled KF's
+    def online_pose(self, drain: bool = False) -> np.ndarray:
+        """Map-consistent pose estimate: the latest settled KF's
         (LBA/loop-corrected) pose composed with the tracker's relative
-        chain since that KF."""
-        self._settle_all()
+        chain since that KF.
+
+        ``drain=False`` (default) is the ONLINE fast path: it reads
+        only already-settled state, so a consumer polling the pose
+        never stalls the depth-2 pipeline — the estimate lags by at
+        most the in-flight chunks (< 2 chunk durations), the same
+        staleness class as the reference's mapping-thread corrections.
+        ``drain=True`` forces a full pipeline settle first (exact up to
+        the last submitted chunk, at the cost of a stall)."""
+        if drain:
+            self._settle_all()
         if self._last_settled is None or not self._frame_anchor:
             return self._T_wc.copy()
         slot, T_rel = self._frame_anchor[-1]
@@ -500,4 +607,13 @@ class FusedPLSLAM:
         return np.stack(out)
 
     def close(self):
-        self._pool.shutdown(wait=False)
+        if self._upload_q:
+            # queued-but-undispatched chunks would be silently dropped;
+            # finish() is the orderly path — warn loudly, don't lose data
+            import warnings
+            warnings.warn(
+                f"FusedPLSLAM.close() with {len(self._upload_q)} chunk(s) "
+                "still queued — call finish() first to settle them; "
+                "draining now", stacklevel=2)
+            self._settle_all()
+        self._pool.shutdown(wait=True)

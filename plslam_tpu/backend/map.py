@@ -161,7 +161,15 @@ def add_keyframe(state: MapState, pts: PointObservations,
     """
     mcfg = cfg.mapping
     mtch = cfg.matching
-    slot = state.n_kfs
+    F = state.kf_pose.shape[0]
+    # capacity guard: at slot == F an unguarded scatter would CLAMP onto
+    # slot F-1 and silently corrupt the newest KF. Instead the insert
+    # becomes an in-program no-op (dropped writes, n_kfs frozen at F);
+    # the drivers watch n_kfs and compact retired slots away
+    # (compact_keyframes) or fail loudly before this can trigger.
+    has_room = state.n_kfs < F
+    slot = jnp.minimum(state.n_kfs, F - 1)
+    gslot = jnp.where(has_room, slot, F)      # mode="drop" guard index
     T_cw = lie.inverse_se3(T_w_kf)
 
     cam_center = T_w_kf[:3, 3]
@@ -186,7 +194,7 @@ def add_keyframe(state: MapState, pts: PointObservations,
                              mtch.max_hamming_p, mtch.min_ratio_12_p,
                              mutual=True)
     # mres: for each map point -> feature index (or -1)
-    pt_matched = mres.valid                              # (P,)
+    pt_matched = mres.valid & has_room                   # (P,)
     feat_of_pt = jnp.maximum(mres.idx, 0)
     # inverse view: for each feature -> matched map point (or -1)
     K = pts.uv.shape[0]
@@ -195,7 +203,7 @@ def add_keyframe(state: MapState, pts: PointObservations,
         jnp.arange(state.pt_pos.shape[0], dtype=jnp.int32), mode="drop")
 
     # ---- new landmarks from unmatched stereo features ------------------
-    want_new = pts.valid & (feat_lm < 0)
+    want_new = pts.valid & (feat_lm < 0) & has_room
     new_slot = _allocate_slots(~state.pt_valid, want_new)
     P_world = lie.transform_points(T_w_kf, pts.P)
     feat_lm = jnp.where(new_slot >= 0, new_slot, feat_lm)
@@ -256,13 +264,13 @@ def add_keyframe(state: MapState, pts: PointObservations,
         lres = hamming.match_nnr(hamming.apply_mask(ldist, lwin),
                                  mtch.max_hamming_l, mtch.min_ratio_12_l,
                                  mutual=True)
-        ln_matched = lres.valid
+        ln_matched = lres.valid & has_room
         feat_of_ln = jnp.maximum(lres.idx, 0)
         L = lns.sp.shape[0]
         lscatter_idx = jnp.where(ln_matched, feat_of_ln, L)
         lfeat_lm = jnp.full((L,), -1, jnp.int32).at[lscatter_idx].set(
             jnp.arange(state.ln_spos.shape[0], dtype=jnp.int32), mode="drop")
-        lwant_new = lns.valid & (lfeat_lm < 0)
+        lwant_new = lns.valid & (lfeat_lm < 0) & has_room
         lnew_slot = _allocate_slots(~state.ln_valid, lwant_new)
         lfeat_lm = jnp.where(lnew_slot >= 0, lnew_slot, lfeat_lm)
         sP_w = lie.transform_points(T_w_kf, lns.sP)
@@ -296,17 +304,17 @@ def add_keyframe(state: MapState, pts: PointObservations,
             ln_valid[:, None],
             hamming.unpack_bits(_medoid_desc(ln_ring, ln_ring_n)),
             state.ln_desc)
-        obs_ln_le = state.obs_ln_le.at[slot].set(lns.le)
-        obs_ln_lm = state.obs_ln_lm.at[slot].set(
-            jnp.where(lns.valid, lfeat_lm, -1))
+        obs_ln_le = state.obs_ln_le.at[gslot].set(lns.le, mode="drop")
+        obs_ln_lm = state.obs_ln_lm.at[gslot].set(
+            jnp.where(lns.valid, lfeat_lm, -1), mode="drop")
         # disparities masked to 0 for invalid detections: downstream
         # consumers (loop verification) use ends[:, 4] > 0 as validity
-        obs_ln_ends = state.obs_ln_ends.at[slot].set(
+        obs_ln_ends = state.obs_ln_ends.at[gslot].set(
             jnp.concatenate([lns.sp, lns.ep,
                              jnp.where(lns.valid, lns.sdisp, 0.0)[:, None],
                              jnp.where(lns.valid, lns.edisp, 0.0)[:, None]],
-                            axis=-1))
-        kf_ln_desc = state.kf_ln_desc.at[slot].set(lns_packed)
+                            axis=-1), mode="drop")
+        kf_ln_desc = state.kf_ln_desc.at[gslot].set(lns_packed, mode="drop")
         n_ln_matched = jnp.sum(ln_matched)
     else:
         ln_spos, ln_epos = state.ln_spos, state.ln_epos
@@ -321,22 +329,22 @@ def add_keyframe(state: MapState, pts: PointObservations,
 
     # ---- write the KF record -------------------------------------------
     new_state = state._replace(
-        kf_pose=state.kf_pose.at[slot].set(T_w_kf),
-        kf_valid=state.kf_valid.at[slot].set(True),
-        n_kfs=state.n_kfs + 1,
+        kf_pose=state.kf_pose.at[gslot].set(T_w_kf, mode="drop"),
+        kf_valid=state.kf_valid.at[gslot].set(True, mode="drop"),
+        n_kfs=state.n_kfs + has_room.astype(jnp.int32),
         pt_pos=pt_pos, pt_desc=pt_desc, pt_valid=pt_valid, pt_nobs=pt_nobs,
         pt_last_kf=pt_last, pt_first_kf=pt_first,
         pt_desc_ring=pt_ring, pt_ring_n=pt_ring_n, pt_dir=pt_dir,
         ln_spos=ln_spos, ln_epos=ln_epos, ln_desc=ln_desc, ln_valid=ln_valid,
         ln_nobs=ln_nobs, ln_last_kf=ln_last, ln_first_kf=ln_first,
         ln_desc_ring=ln_ring, ln_ring_n=ln_ring_n, ln_dir=ln_dir,
-        obs_pt_uv=state.obs_pt_uv.at[slot].set(pts.uv),
-        obs_pt_disp=state.obs_pt_disp.at[slot].set(
-            jnp.where(pts.valid, pts.disp, 0.0)),
-        obs_pt_lm=state.obs_pt_lm.at[slot].set(
-            jnp.where(pts.valid, feat_lm, -1)),
+        obs_pt_uv=state.obs_pt_uv.at[gslot].set(pts.uv, mode="drop"),
+        obs_pt_disp=state.obs_pt_disp.at[gslot].set(
+            jnp.where(pts.valid, pts.disp, 0.0), mode="drop"),
+        obs_pt_lm=state.obs_pt_lm.at[gslot].set(
+            jnp.where(pts.valid, feat_lm, -1), mode="drop"),
         obs_ln_le=obs_ln_le, obs_ln_lm=obs_ln_lm, obs_ln_ends=obs_ln_ends,
-        kf_pt_desc=state.kf_pt_desc.at[slot].set(pts_packed),
+        kf_pt_desc=state.kf_pt_desc.at[gslot].set(pts_packed, mode="drop"),
         kf_ln_desc=kf_ln_desc,
     )
     diag = {"n_map_matches": jnp.sum(pt_matched & pts.valid[feat_of_pt]),
@@ -446,6 +454,132 @@ def remove_redundant_kfs_global(state: MapState, cfg: SlamConfig,
                                ln_nobs=ln_nobs, obs_pt_lm=obs_pt_lm,
                                obs_ln_lm=obs_ln_lm)
     return new_state, jnp.sum(do)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_retire"))
+def force_retire_kfs(state: MapState, cfg: SlamConfig, n_retire: int
+                     ) -> Tuple[MapState, jnp.ndarray]:
+    """Memory-pressure eviction: retire up to ``n_retire`` keyframes
+    even below the redundancy bar, most-redundant-then-oldest first.
+
+    Used only when the slot array is nearly full and the regular sweeps
+    (which honor the reference's max_common_fts_kf criterion) freed
+    nothing — i.e. the sequence is genuinely non-redundant and longer
+    than ``max_kfs``. The reference has no equivalent because its KF
+    vector grows without bound in RAM; with fixed-capacity state the
+    honest choice under pressure is to evict the KFs whose observations
+    the map can best afford to lose (highest fraction of multiply-
+    observed landmarks, oldest on ties). Protected: slot 0 (gauge), the
+    LBA window+fixed span, the newest KF. Returns (state, n_removed)."""
+    m = cfg.mapping
+    F = state.kf_pose.shape[0]
+    slots_arr = jnp.arange(F)
+    newest = state.n_kfs - 1
+    span = m.window_kfs + m.fixed_kfs
+
+    lm = state.obs_pt_lm                                     # (F, K)
+    ok = lm >= 0
+    nobs = take_mxu(state.pt_nobs, jnp.maximum(lm, 0))       # (F, K)
+    well = ok & (nobs >= m.min_lm_obs)
+    frac = jnp.sum(well, axis=1) / jnp.maximum(jnp.sum(ok, axis=1), 1)
+    removable = (state.kf_valid & (slots_arr > 0)
+                 & (slots_arr < state.n_kfs - span)
+                 & (slots_arr != newest))
+    # redundancy first; age breaks ties (the tiny negative slot term
+    # scores older slots higher, so the oldest of equally-redundant
+    # KFs is evicted first)
+    score = jnp.where(removable, frac - 1e-4 * slots_arr, -jnp.inf)
+    vals, cand = jax.lax.top_k(score, n_retire)
+    do = jnp.isfinite(vals)
+
+    kf_valid = state.kf_valid
+    pt_nobs = state.pt_nobs
+    ln_nobs = state.ln_nobs
+    obs_pt_lm = state.obs_pt_lm
+    obs_ln_lm = state.obs_ln_lm
+    P = state.pt_pos.shape[0]
+    M = state.ln_spos.shape[0]
+    for j in range(n_retire):
+        slot = cand[j]
+        lm_r = obs_pt_lm[slot]
+        dec = jnp.where((lm_r >= 0) & do[j], lm_r, P)
+        pt_nobs = pt_nobs.at[dec].add(-1, mode="drop")
+        llm_r = obs_ln_lm[slot]
+        ldec = jnp.where((llm_r >= 0) & do[j], llm_r, M)
+        ln_nobs = ln_nobs.at[ldec].add(-1, mode="drop")
+        obs_pt_lm = obs_pt_lm.at[slot].set(
+            jnp.where(do[j], jnp.full_like(lm_r, -1), lm_r))
+        obs_ln_lm = obs_ln_lm.at[slot].set(
+            jnp.where(do[j], jnp.full_like(llm_r, -1), llm_r))
+        kf_valid = kf_valid.at[slot].set(
+            jnp.where(do[j], False, kf_valid[slot]))
+    new_state = state._replace(kf_valid=kf_valid, pt_nobs=pt_nobs,
+                               ln_nobs=ln_nobs, obs_pt_lm=obs_pt_lm,
+                               obs_ln_lm=obs_ln_lm)
+    return new_state, jnp.sum(do)
+
+
+@partial(jax.jit, static_argnames=())
+def compact_keyframes(state: MapState) -> Tuple[MapState, jnp.ndarray,
+                                                jnp.ndarray, jnp.ndarray]:
+    """Order-preserving KF-slot compaction: drop retired (invalid)
+    slots, shift survivors down, freeing the tail for new keyframes.
+
+    The reference runs unbounded sequences because retired KeyFrames are
+    actually deleted (mapHandler.cpp :: removeRedundantKFs); with
+    fixed-capacity slot arrays the equivalent is this compaction, run by
+    the driver when ``n_kfs`` approaches ``max_kfs`` (rare, stop-the-
+    world — the host must remap its slot-valued records, see
+    FusedPLSLAM._compact). Slot ORDER is time order everywhere (window
+    selection, recency gates, covisibility direction), and compaction
+    preserves it.
+
+    Returns (state, exact_map (F,), floor_map (F,), n_valid) where
+    exact_map[old] = new slot or -1 for dropped slots, and
+    floor_map[old] = new slot of the nearest surviving KF at-or-before
+    ``old`` (-1 if none) — the right semantics for time-anchored
+    references like pt_first_kf.
+    """
+    F = state.kf_pose.shape[0]
+    idx = jnp.arange(F, dtype=jnp.int32)
+    valid = state.kf_valid & (idx < state.n_kfs)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    inc = jnp.cumsum(valid.astype(jnp.int32))            # inclusive
+    exact_map = jnp.where(valid, inc - 1, -1)
+    floor_map = jnp.where(inc > 0, inc - 1, -1)
+    # survivors in original order, then the dropped slots
+    perm = jnp.argsort(jnp.where(valid, idx, F + idx)).astype(jnp.int32)
+    live = idx < n_valid
+
+    def g(a, fill):
+        out = jnp.take(a, perm, axis=0)
+        shape = (F,) + (1,) * (a.ndim - 1)
+        return jnp.where(live.reshape(shape), out,
+                         jnp.asarray(fill, a.dtype))
+
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=state.kf_pose.dtype),
+                           state.kf_pose.shape)
+    kf_pose = jnp.where(live[:, None, None], state.kf_pose[perm], eye)
+
+    remap_time = lambda t: jnp.where(
+        t >= 0, floor_map[jnp.clip(t, 0, F - 1)], -1)
+    return state._replace(
+        kf_pose=kf_pose,
+        kf_valid=live,
+        n_kfs=n_valid,
+        pt_first_kf=remap_time(state.pt_first_kf),
+        pt_last_kf=remap_time(state.pt_last_kf),
+        ln_first_kf=remap_time(state.ln_first_kf),
+        ln_last_kf=remap_time(state.ln_last_kf),
+        obs_pt_uv=g(state.obs_pt_uv, 0.0),
+        obs_pt_disp=g(state.obs_pt_disp, 0.0),
+        obs_pt_lm=g(state.obs_pt_lm, -1),
+        obs_ln_le=g(state.obs_ln_le, 0.0),
+        obs_ln_lm=g(state.obs_ln_lm, -1),
+        obs_ln_ends=g(state.obs_ln_ends, 0.0),
+        kf_pt_desc=g(state.kf_pt_desc, 0),
+        kf_ln_desc=g(state.kf_ln_desc, 0),
+    ), exact_map, floor_map, n_valid
 
 
 @partial(jax.jit, static_argnames=("cfg",))

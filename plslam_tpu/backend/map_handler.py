@@ -178,8 +178,15 @@ def mapping_step_traced_lba(state: MapState, pts, lns, T_w_kf,
         s, _ = remove_redundant_kfs(s, cfg)
         every = cfg.mapping.global_kf_sweep_every
         if every > 0:
+            # this branch only runs on LBA slots — with lba_kf_stride>1
+            # those are up to ``stride`` KFs apart, so an exact ==0 test
+            # can skip multiples of ``every`` entirely and starve the
+            # global sweep; fire when a boundary fell anywhere in the
+            # last ``stride`` insertions instead (cadence independent of
+            # the LBA stride; stride 1 reduces to the exact test)
+            stride = max(int(cfg.mapping.lba_kf_stride), 1)
             s = jax.lax.cond(
-                jnp.mod(s.n_kfs, every) == 0,
+                jnp.mod(s.n_kfs, every) < stride,
                 lambda x: remove_redundant_kfs_global(x, cfg)[0],
                 lambda x: x, s)
         f32 = jnp.float32
@@ -422,7 +429,21 @@ class MapHandler:
             if last_of_job:
                 self._queue.task_done()
 
+    def _check_capacity(self, n_new: int = 1) -> None:
+        """Loud failure instead of the silent scatter-clamp corruption a
+        full KF array would cause. The fused driver (FusedPLSLAM)
+        additionally recycles retired slots via compaction; this worker
+        -thread path fails fast with guidance."""
+        if self._next_slot + n_new > self.cfg.mapping.max_kfs:
+            raise RuntimeError(
+                f"KF capacity exhausted: slot {self._next_slot} + "
+                f"{n_new} > mapping.max_kfs={self.cfg.mapping.max_kfs}. "
+                "Raise mapping.max_kfs, or use the fused driver "
+                "(system.fused_slam=True), which compacts retired "
+                "keyframe slots for unbounded sequences.")
+
     def _process(self, pts, lns, T_w_kf, run_lba_flag):
+        self._check_capacity(1)
         with self._lock:
             state, diag, c0, c1 = mapping_step(
                 self.state, pts, lns, jnp.asarray(T_w_kf, jnp.float32),
@@ -465,6 +486,7 @@ class MapHandler:
         ordering matters more than fetch economy."""
         kmax = self.cfg.system.kf_batch
         g = min(granularity or kmax, kmax)
+        self._check_capacity(len(frame_idx))
         fused = self._get_fused(loop_closer)
         dummy = jnp.zeros((1, 1), jnp.float32)
         entries = []

@@ -176,6 +176,18 @@ def _post_loop_update(state, new_poses, slot_a, slot_b,
     return state, n_fused
 
 
+def floored_uncertainty(cov, n_inl: int, err: float,
+                        cfg: SlamConfig) -> float:
+    """Worst-axis variance of a verification solve with the residual
+    sigma floored at the detector pixel noise (see the lc_unc gate in
+    LoopCloser._close_loop for why the raw covariance is not enough)."""
+    n_res = max(2.0 * float(n_inl), 8.0)
+    sigma2 = float(err) ** 2 * n_res / (n_res - 6.0)  # pose_gn's estimate
+    floor2 = cfg.mapping.lba_min_sigma ** 2
+    scale = max(sigma2, floor2) / max(sigma2, 1e-12)
+    return float(np.max(np.diagonal(np.asarray(cov)))) * scale
+
+
 class LoopEvent(NamedTuple):
     kf_from: int
     kf_to: int
@@ -219,6 +231,62 @@ class LoopCloser:
         near = any(c >= self.voter.window - 1
                    for c in self.voter._streaks.values())
         return near or self.probes_since_close < 8
+
+    def remap_slots(self, exact_map: np.ndarray, n_valid: int) -> None:
+        """Rewrite all slot-valued host state after a KF-slot compaction
+        (backend.map.compact_keyframes): ``exact_map[old] = new`` slot or
+        -1 for retired-and-dropped slots.
+
+        Odometry edges crossing a dropped KF are COMPOSED (their relative
+        transforms chain exactly), so the graph stays connected;
+        covisibility/loop edges touching a dropped slot are removed (a
+        floor-remap would silently change what the measurement relates).
+        BoW rows are permuted on device; consistency streaks reset (at
+        most ``consistency_window`` votes of warm-up lost)."""
+        exact = np.asarray(exact_map)
+
+        odo = sorted(self.odo_edges, key=lambda e: e[0])
+        new_odo = []
+        chain = None            # (old start slot, old last slot, composed T)
+        for (i, j, T, w) in odo:
+            if chain is None or chain[1] != i:
+                chain = (i, i, np.eye(4, dtype=np.float32))  # new chain
+            start, _, T_acc = chain
+            T_acc = (T_acc @ T).astype(np.float32)
+            if exact[j] >= 0:
+                if exact[start] >= 0:
+                    new_odo.append((int(exact[start]), int(exact[j]),
+                                    T_acc, w))
+                chain = (j, j, np.eye(4, dtype=np.float32))
+            else:
+                chain = (start, j, T_acc)    # j dropped: keep composing
+        self.odo_edges = new_odo
+        self.covis_edges = [
+            (int(exact[i]), int(exact[j]), T, w, ns)
+            for (i, j, T, w, ns) in self.covis_edges
+            if exact[i] >= 0 and exact[j] >= 0]
+        self.loop_edges = [
+            (int(exact[i]), int(exact[j]), T, w)
+            for (i, j, T, w) in self.loop_edges
+            if exact[i] >= 0 and exact[j] >= 0]
+
+        # permute BoW rows: new row n reads old row perm[n]; tail zeroed
+        F = exact.shape[0]
+        perm = np.zeros((F,), np.int32)
+        for old, new in enumerate(exact):
+            if new >= 0:
+                perm[new] = old
+        live = (jnp.arange(F) < n_valid)
+
+        def permute(b):
+            if b is None:
+                return None
+            out = jnp.take(b, jnp.asarray(perm), axis=0)
+            return jnp.where(live[:, None], out, 0.0)
+
+        self.db.bows_p = permute(self.db.bows_p)
+        self.db.bows_l = permute(self.db.bows_l)
+        self.voter._streaks.clear()
 
     # -- main entry (called by PLSLAM on every new KF) -----------------------
     def on_keyframe(self, map_handler, slot: int) -> Optional[np.ndarray]:
@@ -343,16 +411,29 @@ class LoopCloser:
                 self.cam, cfg)
             # ONE batched fetch for every gate input (separate np/int/
             # float casts each cost a full tunnel round trip)
-            T_ab, n_inl, err, good = jax.device_get(
-                (res.T, res.n_inliers, res.err, res.good))
+            T_ab, n_inl, err, good, cov = jax.device_get(
+                (res.T, res.n_inliers, res.err, res.good, res.cov))
         T_ab = np.asarray(T_ab)           # maps a-frame points -> b frame
         pose_a = kf_poses[slot_a]
         pose_b = kf_poses[slot_b]
 
-        # gates (isLoopClosure parity)
+        # gates (isLoopClosure parity: inliers, residual, UNCERTAINTY,
+        # correction magnitude). The uncertainty gate rejects solves
+        # whose normal matrix admits a large motion along some axis —
+        # inlier-rich but geometrically degenerate candidate pairs
+        # (e.g. matches concentrated on one small distant patch) pass
+        # the inlier/residual gates yet would inject a sloppy loop
+        # edge. The solve covariance is sigma^2 * H^-1 with sigma
+        # estimated from the residuals, so on clean imagery sigma -> 0
+        # hides the degeneracy; the gate therefore evaluates H^-1
+        # rescaled to a FLOORED sigma (the detector's pixel noise,
+        # mapping.lba_min_sigma — same floor the LBA outlier gate uses).
         n_inl = int(n_inl)
         err = float(err)
         if not bool(good) or n_inl < cfg.loop.lc_inl or err > cfg.loop.lc_res:
+            return None
+        unc = floored_uncertainty(cov, n_inl, err, cfg)
+        if not np.isfinite(unc) or unc > cfg.loop.lc_unc:
             return None
         # measured relative pose a->b in pose-graph convention:
         # T_meas = T_a^-1 T_b with T_ab = T_cam_b<-cam_a => T_meas = T_ab^-1

@@ -32,6 +32,10 @@ class Vocabulary(NamedTuple):
     idf: jnp.ndarray          # (n_leaves,) float32
     k: int
     levels: int
+    origin: str = ""          # stable identity for program caches: the
+                              # artifact path (+ size/mtime) or a build
+                              # descriptor — NOT object id(), which a
+                              # GC'd-and-reallocated Vocabulary can alias
 
     @property
     def n_leaves(self) -> int:
@@ -86,9 +90,14 @@ def build_vocabulary(descriptors: np.ndarray, k: int = 8, levels: int = 4,
         groups = next_groups
         levels_arr.append(jnp.asarray(cents))
 
+    import zlib
+    digest = zlib.crc32(np.ascontiguousarray(
+        np.concatenate([np.asarray(c).reshape(-1) for c in levels_arr])
+    ).tobytes())
     voc = Vocabulary(centroids=tuple(levels_arr),
                      idf=jnp.ones((k ** levels,), jnp.float32),
-                     k=k, levels=levels)
+                     k=k, levels=levels,
+                     origin=f"built:{k}:{levels}:{seed}:{digest:08x}")
     w = weights_from if weights_from is not None else descriptors
     if len(w):
         leaves = np.asarray(transform_leaves(voc, jnp.asarray(w)))
@@ -109,8 +118,10 @@ def load_vocabulary(path: str) -> Vocabulary:
     z = np.load(path)
     k, levels = int(z["k"]), int(z["levels"])
     cents = tuple(jnp.asarray(z[f"level_{i}"]) for i in range(levels))
+    st = os.stat(path)
+    origin = f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
     return Vocabulary(centroids=cents, idf=jnp.asarray(z["idf"]),
-                      k=k, levels=levels)
+                      k=k, levels=levels, origin=origin)
 
 
 # ---------------- transform (device, jittable) ------------------------------

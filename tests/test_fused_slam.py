@@ -87,3 +87,71 @@ def test_fused_closes_synthetic_loop():
     # device slot numbering stayed consistent with host bookkeeping
     slots = [r.slot for r in slam.summaries]
     assert slots == sorted(slots) and slots[-1] == slam._kf_slot
+
+
+def test_step_cache_keyed_by_vocab_origin():
+    """The fused-step program cache must key on the vocabularies' stable
+    origin (artifact path/digest), not object identity: two Vocabulary
+    objects loaded from the same artifact hit the same cached program,
+    and differing origins miss."""
+    from plslam_tpu.backend import fused_slam as fs
+    from plslam_tpu.loop import vocabulary
+
+    cfg = SlamConfig().with_updates({
+        "camera": {"width": 256, "height": 192, "fx": 200.0, "fy": 200.0,
+                   "cx": 128.0, "cy": 96.0, "baseline": 0.2},
+        "points": {"max_kpts": 128, "orb_nlevels": 2},
+        "lines": {"has_lines": False}})
+    cam = StereoCamera.from_config(cfg.camera)
+
+    rng = np.random.default_rng(0)
+    desc = rng.integers(0, 2, (200, 256)).astype(np.uint8)
+    v1 = vocabulary.build_vocabulary(desc, k=3, levels=2, seed=7)
+    v2 = vocabulary.build_vocabulary(desc, k=3, levels=2, seed=7)
+    v3 = vocabulary.build_vocabulary(desc, k=3, levels=2, seed=8)
+    assert v1 is not v2 and v1.origin == v2.origin
+    assert v1.origin != v3.origin
+
+    s1 = fs.make_fused_slam_step(cam, cfg, 2, v1, None)
+    s2 = fs.make_fused_slam_step(cam, cfg, 2, v2, None)
+    s3 = fs.make_fused_slam_step(cam, cfg, 2, v3, None)
+    assert s1 is s2          # same origin -> cache hit across objects
+    assert s1 is not s3      # different vocabulary -> distinct program
+    # bounded: the cache never exceeds its cap
+    assert len(fs._STEP_CACHE) <= fs._STEP_CACHE_MAX
+
+
+def test_online_pose_does_not_drain_pipeline():
+    """online_pose() (default) must read only settled state — the
+    depth-2 pipeline stays in flight; online_pose(drain=True) forces
+    the full settle and reflects every submitted chunk."""
+    cfg = SlamConfig().with_updates({
+        "camera": {"width": 512, "height": 320, "fx": 400.0, "fy": 400.0,
+                   "cx": 256.0, "cy": 160.0, "baseline": 0.3},
+        "points": {"max_kpts": 256, "orb_nlevels": 2},
+        "lines": {"has_lines": False},
+        "loop": {"enabled": False}})
+    cam = StereoCamera.from_config(cfg.camera)
+    chunk, n = 8, 41
+    seq = synthetic.make_sequence(cam, n_frames=n, seed=4,
+                                  n_points=300, n_lines=0, noise=0.003,
+                                  step=0.2)
+    u8 = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    il, ir = u8(np.asarray(seq.images_l)), u8(np.asarray(seq.images_r))
+    slam = FusedPLSLAM(cfg, cam)
+    slam.initialize(il[0], ir[0])
+    for lo in range(1, n, chunk):
+        slam.process_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
+    depth_before = len(slam._pending) + len(slam._upload_q)
+    assert depth_before >= 1          # something is in flight
+    pose_fast = slam.online_pose()
+    assert len(slam._pending) + len(slam._upload_q) == depth_before, \
+        "online_pose() drained the pipeline"
+    assert pose_fast.shape == (4, 4)
+    pose_exact = slam.online_pose(drain=True)
+    assert len(slam._pending) == 0 and len(slam._upload_q) == 0
+    # the fast pose is a valid (possibly stale) SE(3) estimate: same
+    # trajectory up to the in-flight chunks
+    d = float(np.linalg.norm(pose_exact[:3, 3] - pose_fast[:3, 3]))
+    assert d < 2.0 * chunk * 0.2      # bounded by in-flight motion
+    slam.close()

@@ -1,0 +1,187 @@
+"""KF-slot capacity: compaction, overflow guards, unbounded sequences.
+
+Reference bar: the reference runs arbitrarily long sequences — retired
+KeyFrames are deleted outright (mapHandler.cpp :: removeRedundantKFs),
+so KF count never hits a ceiling. With fixed-capacity slot arrays the
+equivalent is order-preserving slot compaction
+(backend.map.compact_keyframes) driven by FusedPLSLAM, plus loud
+failures (never silent scatter-clamp corruption) everywhere else.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.core import lie
+from plslam_tpu.core.camera import StereoCamera
+from plslam_tpu.io import synthetic
+from plslam_tpu.backend.map import (add_keyframe, compact_keyframes,
+                                    init_map_state)
+from plslam_tpu.backend.fused_slam import FusedPLSLAM
+from plslam_tpu.utils.evaluation import ate_rmse
+
+
+SMALL = SlamConfig().with_updates({
+    "camera": {"width": 384, "height": 240, "fx": 300.0, "fy": 300.0,
+               "cx": 192.0, "cy": 120.0, "baseline": 0.25},
+    "points": {"max_kpts": 256, "orb_nlevels": 2},
+    "lines": {"has_lines": False},
+    "matching": {"f2f_window": 96.0},
+    "mapping": {"max_kfs": 40, "max_points": 4096, "max_lines": 128,
+                "window_kfs": 4, "fixed_kfs": 2, "lba_iters": 4,
+                "lba_max_points": 1024, "lba_max_lines": 64,
+                # aggressive retirement so compaction has slots to free
+                "max_common_fts_kf": 0.5, "global_kf_sweep_every": 4},
+    "keyframe": {"min_entropy_ratio": 2.0},      # KF every frame
+    "loop": {"enabled": False},
+    "system": {"kf_batch": 4},
+})
+
+
+def _feats(cfg, cam, rng, T_w_kf, pts_w):
+    """PointObservations viewing the fixed world points from T_w_kf."""
+    from plslam_tpu.frontend.features import PointObservations
+    K = cfg.points.max_kpts
+    pts_w = pts_w[:K]
+    T_cw = np.linalg.inv(T_w_kf)
+    P_c = pts_w @ T_cw[:3, :3].T + T_cw[:3, 3]
+    z = np.maximum(P_c[:, 2], 0.1)
+    uv = np.stack([np.asarray(cam.fx) * P_c[:, 0] / z + np.asarray(cam.cx),
+                   np.asarray(cam.fy) * P_c[:, 1] / z + np.asarray(cam.cy)],
+                  -1).astype(np.float32)
+    n = pts_w.shape[0]
+    desc = np.zeros((K, 256), np.uint8)
+    desc[:n] = rng.integers(0, 2, (n, 256))
+    pad = lambda a, s: np.concatenate(
+        [a, np.zeros((K - n,) + s, a.dtype)], 0)
+    disp = (np.asarray(cam.fx * cam.b) / z).astype(np.float32)
+    valid = np.zeros((K,), bool)
+    valid[:n] = (z[:n] > 0.5)
+    return PointObservations(
+        uv=jnp.asarray(pad(uv, (2,))),
+        uv_r=jnp.asarray(pad(uv, (2,))),
+        disp=jnp.asarray(pad(disp, ())),
+        P=jnp.asarray(pad(P_c.astype(np.float32), (3,))),
+        desc=jnp.asarray(desc),
+        octave=jnp.zeros((K,), jnp.int32),
+        angle=jnp.zeros((K,), jnp.float32),
+        score=jnp.asarray(valid, jnp.float32),
+        valid=jnp.asarray(valid))
+
+
+def test_compact_keyframes_preserves_live_state():
+    cfg = SMALL
+    cam = StereoCamera.from_config(cfg.camera)
+    rng = np.random.default_rng(0)
+    pts_w = np.stack([rng.uniform(-4, 4, 300), rng.uniform(-2, 2, 300),
+                      rng.uniform(6, 16, 300)], -1).astype(np.float32)
+    state = init_map_state(cfg)
+    poses = []
+    for i in range(6):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.15 * i, 0.0, 0.0]
+        poses.append(T)
+        state, diag = add_keyframe(state, _feats(cfg, cam, rng, T, pts_w),
+                                   None, jnp.asarray(T), cam, cfg)
+    # retire slots 2 and 4 by hand (what the sweeps do)
+    state = state._replace(
+        kf_valid=state.kf_valid.at[2].set(False).at[4].set(False),
+        obs_pt_lm=state.obs_pt_lm.at[2].set(-1).at[4].set(-1))
+    obs3 = np.asarray(state.obs_pt_lm[3])
+
+    state2, exact, floor, nv = compact_keyframes(state)
+    exact = np.asarray(exact)
+    assert int(nv) == 4 and int(state2.n_kfs) == 4
+    np.testing.assert_array_equal(exact[:6], [0, 1, -1, 2, -1, 3])
+    assert np.asarray(floor)[4] == 2       # nearest survivor before 4
+    # survivor poses shifted down in order
+    np.testing.assert_allclose(np.asarray(state2.kf_pose[2]), poses[3],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state2.kf_pose[3]), poses[5],
+                               atol=1e-6)
+    # observation tables moved with their KFs
+    np.testing.assert_array_equal(np.asarray(state2.obs_pt_lm[2]), obs3)
+    # freed tail is inert
+    assert not bool(np.asarray(state2.kf_valid)[4:].any())
+    assert (np.asarray(state2.obs_pt_lm)[4:] == -1).all()
+    # landmark time anchors remapped (never point past the live range)
+    pl = np.asarray(state2.pt_last_kf)
+    assert pl.max() < 4
+    # insertion continues cleanly in the freed space
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.9, 0.0, 0.0]
+    state3, diag = add_keyframe(state2, _feats(cfg, cam, rng, T, pts_w),
+                                None, jnp.asarray(T), cam, cfg)
+    assert int(state3.n_kfs) == 5
+    assert int(diag["kf_slot"]) == 4
+
+
+def test_add_keyframe_overflow_is_inert_not_corrupting():
+    """At n_kfs == max_kfs the insert must be a no-op: the newest KF's
+    record must NOT be clobbered by scatter clamping."""
+    cfg = SMALL.with_updates({"mapping": {"max_kfs": 4}})
+    cam = StereoCamera.from_config(cfg.camera)
+    rng = np.random.default_rng(1)
+    pts_w = np.stack([rng.uniform(-4, 4, 200), rng.uniform(-2, 2, 200),
+                      rng.uniform(6, 16, 200)], -1).astype(np.float32)
+    state = init_map_state(cfg)
+    for i in range(4):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.2 * i, 0.0, 0.0]
+        state, _ = add_keyframe(state, _feats(cfg, cam, rng, T, pts_w),
+                                None, jnp.asarray(T), cam, cfg)
+    last_pose = np.asarray(state.kf_pose[3])
+    last_obs = np.asarray(state.obs_pt_lm[3])
+    nobs_before = np.asarray(state.pt_nobs)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [9.9, 0.0, 0.0]
+    state2, _ = add_keyframe(state, _feats(cfg, cam, rng, T, pts_w),
+                             None, jnp.asarray(T), cam, cfg)
+    assert int(state2.n_kfs) == 4                     # frozen, not 5
+    np.testing.assert_array_equal(np.asarray(state2.kf_pose[3]), last_pose)
+    np.testing.assert_array_equal(np.asarray(state2.obs_pt_lm[3]), last_obs)
+    np.testing.assert_array_equal(np.asarray(state2.pt_nobs), nobs_before)
+
+
+def test_map_handler_capacity_fails_loudly():
+    from plslam_tpu.backend.map_handler import MapHandler
+    cfg = SMALL.with_updates({"mapping": {"max_kfs": 4},
+                              "system": {"async_mapping": False}})
+    cam = StereoCamera.from_config(cfg.camera)
+    mh = MapHandler(cfg, cam)
+    mh._next_slot = 4
+    rng = np.random.default_rng(2)
+    pts_w = np.stack([rng.uniform(-4, 4, 50), rng.uniform(-2, 2, 50),
+                      rng.uniform(6, 16, 50)], -1).astype(np.float32)
+    with pytest.raises(RuntimeError, match="KF capacity"):
+        mh.add_keyframe(_feats(cfg, cam, rng, np.eye(4, dtype=np.float32),
+                               pts_w), None, np.eye(4, dtype=np.float32))
+
+
+@pytest.mark.slow
+def test_fused_soak_beyond_kf_capacity():
+    """Soak: a sequence producing ~3x max_kfs keyframes must run through
+    multiple compactions with a correct full-length trajectory and sane
+    accuracy — the unbounded-sequence bar."""
+    cfg = SMALL
+    cam = StereoCamera.from_config(cfg.camera)
+    chunk, n = 10, 121
+    seq = synthetic.make_sequence(cam, n_frames=n, seed=11, kind="loop",
+                                  n_points=500, n_lines=0, noise=0.004,
+                                  step=0.12)
+    u8 = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    il, ir = u8(np.asarray(seq.images_l)), u8(np.asarray(seq.images_r))
+    slam = FusedPLSLAM(cfg, cam)
+    slam.initialize(il[0], ir[0])
+    for lo in range(1, n, chunk):
+        slam.process_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
+    est = slam.finish()
+    # ~120 KFs pushed through a 40-slot map
+    assert slam.n_compactions >= 1, "no compaction fired"
+    assert int(jax.device_get(slam.state.n_kfs)) <= cfg.mapping.max_kfs
+    assert len(est) == n
+    a = float(ate_rmse(est, seq.poses[:len(est)]))
+    assert a < 0.35, f"soak ATE {a:.3f} m"
+    slam.close()

@@ -180,3 +180,102 @@ def test_slam_closes_synthetic_loop():
     from plslam_tpu.utils.evaluation import ate_rmse
     a = ate_rmse(est, seq.poses)
     assert a < 0.25, f"post-loop ATE {a:.3f} m"
+
+
+def test_lc_unc_gate_rejects_degenerate_geometry():
+    """isLoopClosure uncertainty gate (slamConfig lc_unc): a candidate
+    pair whose verification solve is inlier-rich but geometrically
+    degenerate (all matches on one small distant patch -> translation
+    poorly constrained) must yield a covariance above the gate, while a
+    well-conditioned pair stays far below it."""
+    from plslam_tpu.loop.loop_closer import verify_loop_geometry
+
+    cfg = SlamConfig().with_updates({
+        "lines": {"has_lines": False},
+        "tracking": {"min_features": 8}})
+    cam = StereoCamera.from_config(cfg.camera)
+    rng = np.random.default_rng(5)
+    K = cfg.points.max_kpts
+
+    def make_pair(P):
+        """Stored-KF arrays for n 3D points seen from identity and a
+        slightly moved pose (identical descriptors = perfect matches)."""
+        n = P.shape[0]
+        proj = lambda Q: np.stack(
+            [np.asarray(cam.fx) * Q[:, 0] / Q[:, 2] + np.asarray(cam.cx),
+             np.asarray(cam.fy) * Q[:, 1] / Q[:, 2] + np.asarray(cam.cy)],
+            -1).astype(np.float32)
+        T_ab = np.asarray(lie.exp_se3(jnp.asarray(
+            [0.05, -0.02, 0.08, 0.004, 0.01, -0.006])), np.float32)
+        P_b = P @ T_ab[:3, :3].T + T_ab[:3, 3]
+        uv_a = np.zeros((K, 2), np.float32)
+        uv_b = np.zeros((K, 2), np.float32)
+        disp_a = np.zeros((K,), np.float32)
+        uv_a[:n] = proj(P)
+        uv_b[:n] = proj(P_b)
+        disp_a[:n] = np.asarray(cam.fx * cam.b) / P[:, 2]
+        desc = np.zeros((K, 256), np.uint8)
+        desc[:n] = rng.integers(0, 2, (n, 256))
+        from plslam_tpu.ops import hamming
+        packed = np.asarray(hamming.pack_bits(jnp.asarray(desc)))
+        zeros_l = jnp.zeros((cfg.lines.max_lines, 8), jnp.uint32)
+        zeros_e = jnp.zeros((cfg.lines.max_lines, 6), jnp.float32)
+        zeros_le = jnp.zeros((cfg.lines.max_lines, 3), jnp.float32)
+        res, _ = verify_loop_geometry(
+            jnp.asarray(packed), jnp.asarray(uv_a), jnp.asarray(disp_a),
+            jnp.asarray(packed), jnp.asarray(uv_b),
+            zeros_l, zeros_e, zeros_l, zeros_e, zeros_le, cam, cfg)
+        from plslam_tpu.loop.loop_closer import floored_uncertainty
+        return (bool(res.good), int(res.n_inliers),
+                floored_uncertainty(res.cov, int(res.n_inliers),
+                                    float(res.err), cfg))
+
+    n = 60
+    # well-conditioned: points spread across the frustum, 6-18 m
+    P_good = np.stack([rng.uniform(-6, 6, n), rng.uniform(-2, 2, n),
+                       rng.uniform(6, 18, n)], -1).astype(np.float32)
+    # degenerate: a tight distant patch (~0.3 m wide at 180 m)
+    P_bad = np.stack([150.0 + rng.uniform(-0.15, 0.15, n),
+                      rng.uniform(-0.15, 0.15, n),
+                      180.0 + rng.uniform(-0.5, 0.5, n)], -1
+                     ).astype(np.float32)
+
+    good_ok, good_inl, good_unc = make_pair(P_good)
+    bad_ok, bad_inl, bad_unc = make_pair(P_bad)
+    assert good_ok and good_inl >= 50
+    assert good_unc < SlamConfig().loop.lc_unc, good_unc
+    # the degenerate pair is inlier-rich yet must FAIL the lc_unc gate
+    assert bad_inl >= 50
+    assert bad_unc > SlamConfig().loop.lc_unc, bad_unc
+
+
+def test_lc_unc_gate_active_in_live_path():
+    """With an impossible lc_unc the live system must close ZERO loops
+    on the scene where the default config closes at least one."""
+    CFG = SlamConfig().with_updates({
+        "camera": {"width": 512, "height": 320, "fx": 400.0, "fy": 400.0,
+                   "cx": 256.0, "cy": 160.0, "baseline": 0.3},
+        "points": {"max_kpts": 384, "orb_nlevels": 2},
+        "lines": {"has_lines": False},
+        "matching": {"f2f_window": 128.0},
+        "mapping": {"max_kfs": 64, "max_points": 4096, "max_lines": 256,
+                    "window_kfs": 4, "fixed_kfs": 2, "lba_iters": 5},
+        "keyframe": {"min_entropy_ratio": 2.0},
+        "system": {"async_mapping": False},
+        "loop": {"enabled": True, "min_kf_separation": 12,
+                 "consistency_window": 2, "lc_inl": 15,
+                 "lc_trs": 3.0, "lc_rot": 60.0,
+                 "lc_unc": 0.0},                      # impossible gate
+    })
+    cam = StereoCamera.from_config(CFG.camera)
+    n = 40
+    seq = synthetic.make_sequence(cam, n_frames=n, seed=21, kind="loop",
+                                  n_points=700, n_lines=0, noise=0.004,
+                                  step=0.35)
+    from plslam_tpu.backend.slam_system import PLSLAM
+    slam = PLSLAM(CFG, cam)
+    slam.initialize(seq.images_l[0], seq.images_r[0])
+    for i in range(1, n):
+        slam.process(seq.images_l[i], seq.images_r[i])
+    slam.finish()
+    assert slam.loop_closer.n_loops_closed == 0
