@@ -94,13 +94,43 @@ def main() -> None:
         best = min(best, wall)
     fps = n_timed / best
     ate = float(ate_rmse(est, seq.poses[:len(est)]))
-    print(json.dumps({
-        "metric": "slam_frames_per_sec_chip",
-        "value": round(fps, 2), "unit": "fps",
-        "kfs": slam._kf_slot + 1,
-        "loops": slam.loop_closer.n_loops_closed if slam.loop_closer else 0,
-        "ate_rmse_m": round(ate, 4),
-        "vs_baseline": round(fps / 22.5, 3)}))
+
+    # device-time + MFU accounting (VERDICT r3 #2): profiler-measured
+    # device execution of one steady-state fused chunk program + an
+    # analytic-FLOP MFU estimate, so the wall number is attributable
+    out = {"metric": "slam_frames_per_sec_chip",
+           "value": round(fps, 2), "unit": "fps",
+           "kfs": slam._kf_slot + 1,
+           "loops": slam.loop_closer.n_loops_closed if slam.loop_closer else 0,
+           "ate_rmse_m": round(ate, 4),
+           "vs_baseline": round(fps / 22.5, 3)}
+    try:
+        import jax
+        import jax.numpy as jnp
+        from plslam_tpu.utils import flops
+        from plslam_tpu.utils.devtime import device_time_ms
+        lo = 1 + ((n - 2) // chunk - 1) * chunk
+        imgs = (dev_chunks[lo] if dev_chunks is not None
+                else jnp.asarray(np.stack([il[lo:lo + chunk],
+                                           ir[lo:lo + chunk]])))
+        lc = slam.loop_closer
+        bows_p = lc.db.bows_p if lc else slam._dummy_bows
+        bows_l = (lc.db.bows_l if lc and lc.db.bows_l is not None
+                  else slam._dummy_bows)
+        args = (imgs, slam.prev_pts, slam.prev_lns, slam.DT_prev,
+                slam._crit, slam.state, bows_p, bows_l)
+        dev_ms = device_time_ms(lambda: slam._step(*args))
+        n_chunks = (n - 1) // chunk
+        fl = flops.slam_chunk_total(cfg, chunk,
+                                    (slam._kf_slot + 1) / n_chunks)
+        out["device_ms_frame"] = round(dev_ms / chunk, 2)
+        out["est_mfu"] = round(
+            fl / max(dev_ms / 1e3, 1e-9) / flops.PEAK_FLOPS_BF16, 4)
+    except Exception as e:     # accounting must never zero the benchmark
+        out["device_ms_frame"] = None
+        print(f"[bench_slam] device-time accounting failed: {e!r}",
+              file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
