@@ -32,19 +32,37 @@ def _main_chunked(args, cfg, ds) -> int:
     from plslam_tpu.utils.evaluation import ate_rmse, rpe
 
     cam = StereoCamera.from_config(ds.camera)
+    resumed = False
     if cfg.system.fused_slam:
         from plslam_tpu.backend.fused_slam import FusedPLSLAM
-        slam = FusedPLSLAM(cfg, cam, enable_loops=not args.no_loops)
+        if getattr(args, "resume", None):
+            slam = FusedPLSLAM.resume(args.resume, cam,
+                                      enable_loops=not args.no_loops)
+            resumed = True
+            print(f"resumed from {args.resume}: "
+                  f"{len(slam.trajectory)} frames, "
+                  f"{slam._kf_slot + 1} KFs in map")
+        else:
+            slam = FusedPLSLAM(cfg, cam, enable_loops=not args.no_loops)
     else:
+        if getattr(args, "resume", None):
+            print("--resume requires the fused driver "
+                  "(system.fused_slam=true)", file=sys.stderr)
+            return 2
         from plslam_tpu.backend.slam_system import ChunkedPLSLAM
         slam = ChunkedPLSLAM(cfg, cam, enable_loops=not args.no_loops)
     n = len(ds)
     B = args.chunk
-    img_l, img_r = ds.frame(0)
-    slam.initialize(img_l, img_r)
+    if resumed:
+        i = len(slam.trajectory)    # continue after the last saved frame
+        if i >= n:
+            print("checkpoint already covers the whole sequence")
+    else:
+        img_l, img_r = ds.frame(0)
+        slam.initialize(img_l, img_r)
+        i = 1
     t_start = None
     n_timed = 0
-    i = 1
     def as_u8(frames):
         # 8-bit transport: 4x less host->device traffic (see vo_chunk)
         return np.stack([np.clip(f * 255.0 + 0.5, 0, 255).astype(np.uint8)
@@ -82,6 +100,23 @@ def _main_chunked(args, cfg, ds) -> int:
     if args.out:
         save_tum(args.out, est)
         print("trajectory saved to", args.out)
+    # deployment-path parity with the per-frame driver: the fused path
+    # renders and persists too (slamScene + finishSLAM outputs)
+    if getattr(args, "viz", None):
+        from plslam_tpu.utils.viz import plot_map_handler
+        gt = ds.gt_poses[:len(est)] if ds.gt_poses is not None else None
+        holder = slam if hasattr(slam, "state") else slam.map
+        plot_map_handler(holder, path=args.viz, gt_poses=gt,
+                         loop_closer=slam.loop_closer)
+        print("scene rendered to", args.viz)
+    if getattr(args, "checkpoint", None):
+        if hasattr(slam, "save_checkpoint"):
+            slam.save_checkpoint(args.checkpoint)
+        else:
+            from plslam_tpu.backend.checkpoint import save_map
+            save_map(args.checkpoint, slam.map.state, cfg,
+                     extra={"trajectory": est})
+        print("map checkpoint saved to", args.checkpoint)
     return 0
 
 
@@ -95,6 +130,9 @@ def main(argv=None) -> int:
                     help="render the final 3D scene to this PNG")
     ap.add_argument("--checkpoint", default=None, metavar="NPZ",
                     help="save the final map state to this npz")
+    ap.add_argument("--resume", default=None, metavar="NPZ",
+                    help="resume a fused-driver run from this checkpoint "
+                         "(continues after its last saved frame)")
     args = ap.parse_args(argv)
     cfg = load_config(args)
     if args.sync:

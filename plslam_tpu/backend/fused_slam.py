@@ -606,6 +606,140 @@ class FusedPLSLAM:
             out.append(kf_poses[slot] @ T_rel)
         return np.stack(out)
 
+    # -- checkpoint / resume -------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Settle the pipeline and persist everything a resumed driver
+        needs: the device MapState + config (backend.checkpoint) plus
+        the host-side continuation state — trajectory, frame anchors,
+        tracker carry (criterion state, last features, prior) and the
+        loop closer's graph edges. BoW matrices are NOT stored: they are
+        recomputed from the per-KF descriptors already in MapState
+        (bit-identical — the transform is deterministic)."""
+        from plslam_tpu.backend.checkpoint import save_map
+        self._settle_all()
+        extra = {
+            "trajectory": np.stack(self.trajectory),
+            "anchor_slots": np.asarray([s for s, _ in self._frame_anchor],
+                                       np.int32),
+            "anchor_T": np.stack([T for _, T in self._frame_anchor]
+                                 ) if self._frame_anchor else
+            np.zeros((0, 4, 4), np.float32),
+            "kf_slot": np.asarray(self._kf_slot, np.int32),
+            "next_slot": np.asarray(self._next_slot, np.int32),
+            "T_wc": self._T_wc,
+            "last_step": self._last_step_host,
+            "DT_prev": np.asarray(jax.device_get(self.DT_prev)),
+            "n_compactions": np.asarray(self.n_compactions, np.int32),
+        }
+        for i, leaf in enumerate(jax.device_get(tuple(self._crit))):
+            extra[f"crit_{i}"] = np.asarray(leaf)
+        pts_leaves, pts_def = jax.tree_util.tree_flatten(self.prev_pts)
+        for i, leaf in enumerate(jax.device_get(pts_leaves)):
+            extra[f"prev_pts_{i}"] = np.asarray(leaf)
+        if self.prev_lns is not None:
+            lns_leaves, _ = jax.tree_util.tree_flatten(self.prev_lns)
+            for i, leaf in enumerate(jax.device_get(lns_leaves)):
+                extra[f"prev_lns_{i}"] = np.asarray(leaf)
+        if self.loop_closer is not None:
+            lc = self.loop_closer
+            def pack_edges(edges, width):
+                # columns: i, j, T(16), then the width-3 trailing scalars
+                out = np.zeros((len(edges), 15 + width), np.float32)
+                for n_, e in enumerate(edges):
+                    out[n_, 0], out[n_, 1] = e[0], e[1]
+                    out[n_, 2:18] = np.asarray(e[2]).reshape(16)
+                    out[n_, 18:] = e[3:width]
+                return out
+            extra["lc_odo"] = pack_edges(lc.odo_edges, 4)
+            extra["lc_covis"] = pack_edges(lc.covis_edges, 5)
+            extra["lc_loop"] = pack_edges(lc.loop_edges, 4)
+            extra["lc_n_loops"] = np.asarray(lc.n_loops_closed, np.int32)
+        save_map(path, self.state, self.cfg, extra=extra)
+
+    @classmethod
+    def resume(cls, path: str, cam: Optional[StereoCamera] = None,
+               enable_loops: Optional[bool] = None) -> "FusedPLSLAM":
+        """Reconstruct a live driver from a checkpoint: MapState +
+        tracker carry restored exactly; the loop closer's BoW matrices
+        are rebuilt from the per-KF descriptors stored in MapState and
+        its graph edges reloaded — a resumed run continues closing
+        loops against pre-checkpoint keyframes."""
+        from plslam_tpu.backend.checkpoint import load_map
+        state, cfg, extra = load_map(path)
+        self = cls(cfg, cam, enable_loops=enable_loops)
+        with self._lock:
+            self.state = state
+        self.trajectory = [t.astype(np.float32)
+                           for t in extra["trajectory"]]
+        self._frame_anchor = [
+            (int(s), np.asarray(T, np.float32)) for s, T in
+            zip(extra["anchor_slots"], extra["anchor_T"])]
+        self._kf_slot = int(extra["kf_slot"])
+        self._next_slot = int(extra["next_slot"])
+        self._T_wc = np.asarray(extra["T_wc"], np.float32)
+        self._last_step_host = np.asarray(extra["last_step"], np.float32)
+        self.DT_prev = jnp.asarray(extra["DT_prev"])
+        self.n_compactions = int(extra.get("n_compactions", 0))
+        self._crit = CritCarry(*[jnp.asarray(extra[f"crit_{i}"])
+                                 for i in range(len(CritCarry._fields))])
+        # feature containers are flat NamedTuples of arrays, so the
+        # saved leaves ARE the fields in order
+        from plslam_tpu.frontend.features import (LineObservations,
+                                                  PointObservations)
+        self.prev_pts = PointObservations(
+            *[jnp.asarray(extra[f"prev_pts_{i}"])
+              for i in range(len(PointObservations._fields))])
+        if any(k.startswith("prev_lns_") for k in extra):
+            self.prev_lns = LineObservations(
+                *[jnp.asarray(extra[f"prev_lns_{i}"])
+                  for i in range(len(LineObservations._fields))])
+        if self.loop_closer is not None:
+            lc = self.loop_closer
+            def unpack(arr, extra_cols):
+                out = []
+                for row in arr:
+                    e = (int(row[0]), int(row[1]),
+                         row[2:18].reshape(4, 4).astype(np.float32))
+                    e = e + tuple(
+                        (int(c) if float(c).is_integer() else float(c))
+                        for c in row[18:18 + extra_cols])
+                    out.append(e)
+                return out
+            lc.odo_edges = [(i, j, T, float(w)) for (i, j, T, w) in
+                            unpack(extra.get("lc_odo",
+                                             np.zeros((0, 19))), 1)]
+            lc.covis_edges = [(i, j, T, float(w), int(ns)) for
+                              (i, j, T, w, ns) in
+                              unpack(extra.get("lc_covis",
+                                               np.zeros((0, 20))), 2)]
+            lc.loop_edges = [(i, j, T, float(w)) for (i, j, T, w) in
+                             unpack(extra.get("lc_loop",
+                                              np.zeros((0, 19))), 1)]
+            lc.n_loops_closed = int(extra.get("lc_n_loops", 0))
+            self._rebuild_bows()
+        self._last_settled = np.asarray(
+            jax.device_get(self.state.kf_pose))
+        return self
+
+    def _rebuild_bows(self):
+        """Recompute the loop database's BoW matrices from the per-KF
+        descriptor sets stored in MapState (checkpoints do not carry
+        them; the transform is deterministic, so a resumed database is
+        bit-identical to the pre-checkpoint one)."""
+        from plslam_tpu.loop.loop_closer import probe_core
+        lc = self.loop_closer
+        db = lc.db
+        n = int(jax.device_get(self.state.n_kfs))
+        for slot in range(n):
+            bows_l = db.bows_l if db.bows_l is not None else self._dummy_bows
+            bp, bl, _, _, _ = jax.jit(
+                partial(probe_core, db.voc_p, db.voc_l, self.cfg,
+                        db.bows_l is not None))(
+                self.state, db.bows_p, bows_l, jnp.asarray(slot))
+            db.bows_p = bp
+            if db.bows_l is not None:
+                db.bows_l = bl
+
     def close(self):
         if self._upload_q:
             # queued-but-undispatched chunks would be silently dropped;
