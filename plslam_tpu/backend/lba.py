@@ -327,7 +327,17 @@ def run_lba(problem: LBAProblem, cam: StereoCamera, cfg: SlamConfig
         0, mcfg.lba_iters, lm_iter,
         (problem, jnp.asarray(mcfg.lambda_init), cost0))
 
-    # post-hoc outlier flags for the caller (markers, not re-solve)
+    pt_inl, ln_inl = posthoc_inliers(problem1, cam, cfg)
+    return LBAResult(problem1.kf_pose, problem1.pt_pos, problem1.ep_pos,
+                     cost0, cost1, pt_inl, ln_inl)
+
+
+def posthoc_inliers(problem1: LBAProblem, cam: StereoCamera,
+                    cfg: SlamConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Post-hoc outlier flags at the solved state (markers, not
+    re-solve) — also used by the distributed solve, which computes its
+    flags on the full layout after gathering the sharded solution."""
+    mcfg = cfg.mapping
     r, _, _, ok = _point_rj(problem1.kf_pose, problem1.pt_pos,
                             problem1.obs_pt_uv, problem1.obs_pt_disp,
                             problem1.obs_pt_id, cam)
@@ -344,5 +354,4 @@ def run_lba(problem: LBAProblem, cam: StereoCamera, cfg: SlamConfig
     k = mcfg.lba_inlier_k
     pt_inl = ok & (rn < k * sigma)
     ln_inl = oks & oke & (jnp.abs(rs) < k * sigma) & (jnp.abs(re) < k * sigma)
-    return LBAResult(problem1.kf_pose, problem1.pt_pos, problem1.ep_pos,
-                     cost0, cost1, pt_inl, ln_inl)
+    return pt_inl, ln_inl

@@ -54,12 +54,11 @@ def _compact_landmarks(valid, last_kf, start, cap: int):
     return ids, sel, remap, n_overflow
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def run_window_lba(state: MapState, cam: StereoCamera, cfg: SlamConfig
-                   ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray, dict]:
-    """Build the COMPACT LBA problem from the last (window+fixed) KF
-    slots (window-touched landmarks only — see _compact_landmarks), run
-    robust LM, scatter results back. Returns (state, cost0, cost1, diag)."""
+def _build_window_problem(state: MapState, cam: StereoCamera,
+                          cfg: SlamConfig):
+    """Assemble the COMPACT window problem (window-touched landmarks
+    only — see _compact_landmarks). Returns (prob, ctx) where ctx holds
+    everything _apply_lba_result needs to scatter the solution back."""
     m = cfg.mapping
     span = m.window_kfs + m.fixed_kfs
     F = state.kf_pose.shape[0]
@@ -103,7 +102,40 @@ def run_window_lba(state: MapState, cam: StereoCamera, cfg: SlamConfig
         obs_pt_id=obs_pt_id,
         obs_ln_le=state.obs_ln_le[slots],
         obs_ln_sid=sid, obs_ln_eid=eid)
+    ctx = dict(slots=slots, kf_valid=kf_valid, kf_pose_w=kf_pose_w,
+               ids_pt=ids_pt, sel_pt=sel_pt, obs_pt_orig=obs_pt_orig,
+               obs_pt_id=obs_pt_id, ids_ln=ids_ln, sel_ln=sel_ln,
+               ln_lm=ln_lm, sid=sid, pt_over=pt_over, ln_over=ln_over,
+               P_loc=P_loc, M_loc=M_loc)
+    return prob, ctx
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_window_lba(state: MapState, cam: StereoCamera, cfg: SlamConfig
+                   ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray, dict]:
+    """Build the COMPACT LBA problem from the last (window+fixed) KF
+    slots (window-touched landmarks only — see _compact_landmarks), run
+    robust LM, scatter results back. Returns (state, cost0, cost1, diag)."""
+    prob, ctx = _build_window_problem(state, cam, cfg)
     res = lba.run_lba(prob, cam, cfg)
+    return _apply_lba_result(state, res, ctx)
+
+
+def _apply_lba_result(state: MapState, res, ctx
+                      ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray, dict]:
+    """Scatter an LBAResult back into the map state (poses, landmark
+    positions, outlier-observation detachment)."""
+    slots = ctx["slots"]
+    kf_valid = ctx["kf_valid"]
+    kf_pose_w = ctx["kf_pose_w"]
+    ids_pt, sel_pt = ctx["ids_pt"], ctx["sel_pt"]
+    obs_pt_orig, obs_pt_id = ctx["obs_pt_orig"], ctx["obs_pt_id"]
+    ids_ln, sel_ln = ctx["ids_ln"], ctx["sel_ln"]
+    ln_lm, sid = ctx["ln_lm"], ctx["sid"]
+    pt_over, ln_over = ctx["pt_over"], ctx["ln_over"]
+    P = state.pt_pos.shape[0]
+    Ml = state.ln_spos.shape[0]
+    M_loc = res.ep_pos.shape[0] // 2     # static (from the array shape)
 
     new_pose_w = jax.vmap(lie.inverse_se3)(res.kf_pose)
     kf_pose = state.kf_pose.at[slots].set(
@@ -127,6 +159,76 @@ def run_window_lba(state: MapState, cam: StereoCamera, cfg: SlamConfig
                                obs_pt_lm=obs_pt_lm, obs_ln_lm=obs_ln_lm)
     diag = {"lba_pt_overflow": pt_over, "lba_ln_overflow": ln_over}
     return new_state, res.cost0, res.cost1, diag
+
+
+class DistLBA:
+    """Live-system distributed-LBA context: the device mesh + the jitted
+    owner-sharded LM program (parallel.dist_lba.make_dist_lba_lm) + the
+    jitted problem builder. Built once per MapHandler/driver when
+    ``mapping.distributed`` is set (SURVEY §2.3 P5 — the reference has
+    no distributed story; this is the TPU build's own north star)."""
+
+    def __init__(self, cfg: SlamConfig, cam: StereoCamera, mesh=None):
+        from plslam_tpu.parallel.dist_lba import make_dist_lba_lm
+        from plslam_tpu.parallel.mesh import make_mesh
+        if mesh is None:
+            n = cfg.mapping.dist_devices or len(jax.devices())
+            mesh = make_mesh(n, axes=("lm",))
+        self.mesh = mesh
+        self.n = int(np.prod(list(mesh.shape.values())))
+        self.lm_fn = make_dist_lba_lm(
+            mesh, cam, cfg.mapping.lba_iters, cfg.mapping.lambda_init,
+            cfg.mapping.lambda_factor, axis="lm")
+        self._build = jax.jit(_build_window_problem,
+                              static_argnames=("cfg",))
+        self._posthoc = jax.jit(lba.posthoc_inliers,
+                                static_argnames=("cfg",))
+        self._apply = jax.jit(_apply_lba_result)
+
+
+def run_window_lba_distributed(state: MapState, cam: StereoCamera,
+                               cfg: SlamConfig, dist: DistLBA
+                               ) -> Tuple[MapState, jnp.ndarray,
+                                          jnp.ndarray, dict]:
+    """run_window_lba with the solve routed through the owner-sharded
+    multi-device LM program: build the compact window problem, bucket it
+    into the round-robin owner layout, solve across the mesh (the only
+    collectives are the ~16 KB reduced camera system per iteration),
+    gather the sharded landmark solution back, flag outliers on the full
+    layout, scatter into the map state."""
+    from plslam_tpu.parallel.dist_lba import bucket_problem_by_owner
+    prob, ctx = dist._build(state, cam, cfg)
+    bucketed = bucket_problem_by_owner(prob, dist.n)
+    kf_pose, pt_b, ep_b, c0, c1 = dist.lm_fn(bucketed.problem)
+    pt_pos = pt_b[bucketed.pt_perm]
+    ep_pos = ep_b[bucketed.ep_perm]
+    solved = prob._replace(kf_pose=kf_pose, pt_pos=pt_pos, ep_pos=ep_pos)
+    pt_inl, ln_inl = dist._posthoc(solved, cam, cfg)
+    res = lba.LBAResult(kf_pose, pt_pos, ep_pos, c0, c1, pt_inl, ln_inl)
+    return dist._apply(state, res, ctx)
+
+
+def mapping_step_distributed(state: MapState, pts, lns, T_w_kf,
+                             cam: StereoCamera, cfg: SlamConfig,
+                             dist: DistLBA, run_lba_flag: bool = True):
+    """mapping_step with the window LBA on the device mesh. Host-side
+    composition of the jitted pieces (insertion, sharded LBA,
+    retirement, culling) — the sharded program cannot live inside the
+    single-device fused step, and on a pod the extra dispatches amortize
+    against the multi-chip solve."""
+    state, diag = add_keyframe(state, pts, lns, T_w_kf, cam, cfg)
+    c0 = c1 = jnp.asarray(0.0)
+    if run_lba_flag:
+        state, c0, c1, lba_diag = run_window_lba_distributed(
+            state, cam, cfg, dist)
+        diag = {**diag, **lba_diag}
+        state, _ = remove_redundant_kfs(state, cfg)
+        if cfg.mapping.global_kf_sweep_every > 0:
+            # unconditional here (the jitted cadence test lives in
+            # mapping_step; an extra sweep is idempotent)
+            state = remove_redundant_kfs_global(state, cfg)[0]
+    state = cull_landmarks(state, cfg)
+    return state, diag, c0, c1
 
 
 @partial(jax.jit, static_argnames=("cfg", "run_lba_flag"))
@@ -264,6 +366,8 @@ class MapHandler:
         self.cfg = cfg
         self.cam = cam
         self.state = init_map_state(cfg)
+        self._dist = (DistLBA(cfg, cam) if cfg.mapping.distributed
+                      else None)
         self._records = []          # KeyFrameSummary | PendingSummary
         self._next_slot = 0
         self._lock = threading.Lock()
@@ -445,9 +549,15 @@ class MapHandler:
     def _process(self, pts, lns, T_w_kf, run_lba_flag):
         self._check_capacity(1)
         with self._lock:
-            state, diag, c0, c1 = mapping_step(
-                self.state, pts, lns, jnp.asarray(T_w_kf, jnp.float32),
-                self.cam, self.cfg, run_lba_flag=bool(run_lba_flag))
+            if self._dist is not None:
+                state, diag, c0, c1 = mapping_step_distributed(
+                    self.state, pts, lns,
+                    jnp.asarray(T_w_kf, jnp.float32), self.cam, self.cfg,
+                    self._dist, run_lba_flag=bool(run_lba_flag))
+            else:
+                state, diag, c0, c1 = mapping_step(
+                    self.state, pts, lns, jnp.asarray(T_w_kf, jnp.float32),
+                    self.cam, self.cfg, run_lba_flag=bool(run_lba_flag))
             self.state = state
             slot = self._next_slot
             self._next_slot += 1

@@ -213,6 +213,15 @@ class MappingConfig:
                                     # local window
     lambda_init: float = 1e-3       # LM damping init for LBA
     lambda_factor: float = 3.0
+    distributed: bool = False       # route the window LBA through the
+                                    # owner-sharded multi-device solver
+                                    # (parallel.dist_lba over the 'lm'
+                                    # mesh axis; SURVEY §2.3 P5). Uses
+                                    # all visible devices by default;
+                                    # single-device trajectories match
+                                    # within f32 reduction noise.
+    dist_devices: int = 0           # mesh size for distributed LBA
+                                    # (0 = all visible devices)
 
 
 @dataclass(frozen=True)

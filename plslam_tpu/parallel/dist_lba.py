@@ -173,23 +173,24 @@ def comm_bytes_per_step(W: int) -> int:
 # the sharded step
 # ---------------------------------------------------------------------------
 
-def _owner_shard_step(problem: lba_mod.LBAProblem, lam, cam: StereoCamera,
-                      axis: str):
-    """Runs per shard: local landmark state + local observation slice.
-    Only the reduced camera system crosses devices."""
-    W = problem.kf_pose.shape[0]
-
-    # ids arrive in the bucketed GLOBAL layout; this shard's landmarks
-    # occupy [me*P_loc, (me+1)*P_loc) — convert to local indices
+def _to_local_ids(problem: lba_mod.LBAProblem, axis: str
+                  ) -> lba_mod.LBAProblem:
+    """ids arrive in the bucketed GLOBAL layout; this shard's landmarks
+    occupy [me*P_loc, (me+1)*P_loc) — convert to local indices."""
     me = jax.lax.axis_index(axis)
     P_loc = problem.pt_pos.shape[0]
     Q_loc = problem.ep_pos.shape[0]
     to_local = lambda ids, size: jnp.where(ids >= 0, ids - me * size, -1)
-    problem = problem._replace(
+    return problem._replace(
         obs_pt_id=to_local(problem.obs_pt_id, P_loc),
         obs_ln_sid=to_local(problem.obs_ln_sid, Q_loc),
         obs_ln_eid=to_local(problem.obs_ln_eid, Q_loc))
 
+
+def _shard_residuals(problem: lba_mod.LBAProblem, cam: StereoCamera,
+                     axis: str):
+    """Local residuals + GLOBAL robust scale (collective mean |r|).
+    Assumes LOCAL ids. Returns (r, rn, rs, re, jacs..., weights...)."""
     r, Jc, Jp, ok = lba_mod._point_rj(problem.kf_pose, problem.pt_pos,
                                       problem.obs_pt_uv, problem.obs_pt_disp,
                                       problem.obs_pt_id, cam)
@@ -200,17 +201,43 @@ def _owner_shard_step(problem: lba_mod.LBAProblem, lam, cam: StereoCamera,
                                              problem.obs_ln_le,
                                              problem.obs_ln_eid, cam)
     rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
-
-    # robust scale from GLOBAL statistics (collective-friendly mean |r|)
     n_ok = jax.lax.psum(jnp.sum(ok) + jnp.sum(oks) + jnp.sum(oke), axis)
     s_abs = jax.lax.psum(jnp.sum(jnp.where(ok, rn, 0.0))
                          + jnp.sum(jnp.where(oks, jnp.abs(rs), 0.0))
                          + jnp.sum(jnp.where(oke, jnp.abs(re), 0.0)), axis)
     sigma = jnp.maximum(1.2533 * s_abs / jnp.maximum(n_ok, 1), 1e-4)
-
     w = jnp.where(ok, robust.tstudent_weight(rn, sigma), 0.0)
     ws = jnp.where(oks, robust.tstudent_weight(jnp.abs(rs), sigma), 0.0)
     we = jnp.where(oke, robust.tstudent_weight(jnp.abs(re), sigma), 0.0)
+    return (r, rn, rs, re, Jc, Jp, Jcs, Jps, Jce, Jpe,
+            ok, oks, oke, w, ws, we, sigma)
+
+
+def _shard_cost(problem: lba_mod.LBAProblem, cam: StereoCamera,
+                axis: str):
+    """Robust total cost across shards (LOCAL ids)."""
+    (r, rn, rs, re, *_rest) = _shard_residuals(problem, cam, axis)
+    (ok, oks, oke, w, ws, we) = _rest[6:12]
+    local = (jnp.sum(w * rn ** 2) + jnp.sum(ws * rs ** 2)
+             + jnp.sum(we * re ** 2))
+    return jax.lax.psum(local, axis)
+
+
+def _owner_shard_step(problem: lba_mod.LBAProblem, lam, cam: StereoCamera,
+                      axis: str):
+    """Runs per shard: local landmark state + local observation slice.
+    Only the reduced camera system crosses devices. Converts bucketed-
+    global ids to local first (one-shot callers)."""
+    return _owner_shard_step_local(_to_local_ids(problem, axis), lam,
+                                   cam, axis)
+
+
+def _owner_shard_step_local(problem: lba_mod.LBAProblem, lam,
+                            cam: StereoCamera, axis: str):
+    """The damped sharded step, assuming LOCAL observation ids."""
+    W = problem.kf_pose.shape[0]
+    (r, rn, rs, re, Jc, Jp, Jcs, Jps, Jce, Jpe,
+     ok, oks, oke, w, ws, we, _sigma) = _shard_residuals(problem, cam, axis)
 
     free = (~problem.kf_fixed) & problem.kf_valid
     Jc = jnp.where(free[:, None, None, None], Jc, 0.0)
@@ -318,6 +345,61 @@ def make_dist_lba_step(mesh, cam: StereoCamera, axis: str = "lm"):
     fn = shard_map_fn(step, mesh,
                       in_specs=(_problem_specs(None, axis), P()),
                       out_specs=(P(), P(axis), P(axis)), check=False)
+    return jax.jit(fn)
+
+
+def make_dist_lba_lm(mesh, cam: StereoCamera, iters: int,
+                     lam0: float, lam_factor: float, axis: str = "lm"):
+    """Full sharded robust-LM solve (the live-system entry point).
+
+    One jitted program: ``iters`` accept/reject LM iterations, each an
+    owner-sharded step + a sharded cost evaluation — the same loop
+    backend.lba.run_lba runs densely, with the distributed robust scale
+    (mean |r|). Input must be in the owner-sharded layout
+    (bucket_problem_by_owner). Returns
+    fn(problem) -> (kf_pose (W,4,4) replicated, pt_pos sharded,
+    ep_pos sharded, cost0, cost1).
+    """
+    from jax import lax
+
+    def lm(problem: lba_mod.LBAProblem):
+        problem = _to_local_ids(problem, axis)
+        cost0 = _shard_cost(problem, cam, axis)
+
+        def body(_, carry):
+            prob, lam, cost = carry
+            dxi, d_pt, d_ep = _owner_shard_step_local(prob, lam, cam, axis)
+            new_pose = jax.vmap(
+                lambda d, T: lie.mm(lie.exp_se3(d), T))(dxi, prob.kf_pose)
+            trial = prob._replace(kf_pose=new_pose,
+                                  pt_pos=prob.pt_pos + d_pt,
+                                  ep_pos=prob.ep_pos + d_ep)
+            c_try = _shard_cost(trial, cam, axis)
+            finite = (jnp.isfinite(c_try) & jnp.all(jnp.isfinite(dxi))
+                      & jnp.all(jnp.isfinite(d_pt))
+                      & jnp.all(jnp.isfinite(d_ep)))
+            # every shard sees identical psum'd costs, so the accept
+            # decision is replicated by construction — except the
+            # d_pt/d_ep finiteness, which is shard-local: make it global
+            finite = jax.lax.pmin(finite.astype(jnp.int32), axis) > 0
+            accept = finite & (c_try < cost)
+            prob = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(accept, (1,) * a.ndim) if a.ndim else accept,
+                    a, b), trial, prob)
+            lam_new = jnp.where(accept, lam * (1.0 / lam_factor),
+                                lam * lam_factor)
+            return prob, lam_new, jnp.where(accept, c_try, cost)
+
+        problem1, _, cost1 = lax.fori_loop(
+            0, iters, body, (problem, jnp.asarray(lam0), cost0))
+        return problem1.kf_pose, problem1.pt_pos, problem1.ep_pos, \
+            cost0, cost1
+
+    spec = _problem_specs(None, axis)
+    fn = shard_map_fn(lm, mesh, in_specs=(spec,),
+                      out_specs=(P(), P(axis), P(axis), P(), P()),
+                      check=False)
     return jax.jit(fn)
 
 

@@ -205,3 +205,61 @@ def test_dp_windows_match_per_window_steps():
                                    atol=4e-3)
         np.testing.assert_allclose(np.asarray(dep_b[g]), np.asarray(d_ep),
                                    atol=4e-3)
+
+
+def test_live_slam_with_distributed_lba():
+    """End-to-end SLAM with mapping.distributed=true on the 8-CPU-device
+    mesh: the live system routes every window LBA through the owner-
+    sharded multi-device LM solve and must produce the single-device
+    trajectory (within f32 reduction noise + the distributed robust
+    scale's mean-|r| vs MAD difference)."""
+    from plslam_tpu.config import SlamConfig
+    from plslam_tpu.core.camera import StereoCamera
+    from plslam_tpu.io import synthetic
+    from plslam_tpu.backend.slam_system import PLSLAM
+    from plslam_tpu.utils.evaluation import ate_rmse
+
+    base = SlamConfig().with_updates({
+        "camera": {"width": 512, "height": 320, "fx": 400.0, "fy": 400.0,
+                   "cx": 256.0, "cy": 160.0, "baseline": 0.3},
+        "points": {"max_kpts": 256, "orb_nlevels": 2},
+        "lines": {"has_lines": False},
+        "matching": {"f2f_window": 128.0},
+        "mapping": {"max_kfs": 32, "max_points": 4096, "max_lines": 256,
+                    "window_kfs": 4, "fixed_kfs": 2, "lba_iters": 5,
+                    "lba_max_points": 1024, "lba_max_lines": 64},
+        "keyframe": {"min_entropy_ratio": 0.97},
+        "loop": {"enabled": False},
+        "system": {"async_mapping": False},
+    })
+    cam = StereoCamera.from_config(base.camera)
+    n = 25
+    seq = synthetic.make_sequence(cam, n_frames=n, seed=5,
+                                  n_points=500, n_lines=0, noise=0.004,
+                                  step=0.25)
+
+    def run(cfg):
+        slam = PLSLAM(cfg, cam)
+        slam.initialize(seq.images_l[0], seq.images_r[0])
+        for i in range(1, n):
+            slam.process(seq.images_l[i], seq.images_r[i])
+        est = slam.finish()
+        return est, slam._kf_slot + 1
+
+    est_1, kfs_1 = run(base)
+    est_d, kfs_d = run(base.with_updates(
+        {"mapping": {"distributed": True, "dist_devices": 8}}))
+    est_d1, kfs_d1 = run(base.with_updates(
+        {"mapping": {"distributed": True, "dist_devices": 1}}))
+    assert kfs_d == kfs_1 == kfs_d1, (kfs_d, kfs_1, kfs_d1)
+    # contract 1 — device-count invariance: the 8-device mesh must
+    # reproduce the 1-device mesh trajectory to f32 reduction noise
+    d = max(np.linalg.norm(e1[:3, 3] - e2[:3, 3])
+            for e1, e2 in zip(est_d, est_d1))
+    assert d < 1e-3, d
+    # contract 2 — accuracy parity with the dense solver (the solvers
+    # differ only in the robust scale estimator: distributed mean-|r|
+    # vs dense MAD, so equality is in the ATE band, not pointwise)
+    a1 = float(ate_rmse(est_1, seq.poses[:len(est_1)]))
+    ad = float(ate_rmse(est_d, seq.poses[:len(est_d)]))
+    assert ad < max(1.5 * a1, a1 + 0.01), (a1, ad)
