@@ -38,6 +38,18 @@ class Degradation(NamedTuple):
     motion_blur: float = 0.0    # blur length in px along apparent motion
     vignette: float = 0.0       # radial gain falloff at the corners
     exposure_jitter: float = 0.0  # per-frame multiplicative gain sigma
+    rolling_shutter: float = 0.0  # max horizontal row skew in px across
+                                  # the frame (CMOS readout shear)
+    specular: float = 0.0       # saturating view-dependent highlight
+                                # blobs, DIFFERENT per eye (stereo
+                                # outlier generator); value = intensity
+    n_speculars: int = 4
+    occluders: int = 0          # dynamic untextured blobs crossing the
+                                # scene (pedestrians/vehicles analogue;
+                                # temporally coherent across a sequence)
+    lr_asym: float = 0.0        # photometric L/R asymmetry: right-eye
+                                # gain and offset mismatch sigma
+                                # (imperfect radiometric calibration)
 
     @staticmethod
     def preset(level: str) -> "Degradation":
@@ -45,10 +57,14 @@ class Degradation(NamedTuple):
             "clean": Degradation(),
             "moderate": Degradation(texture=0.10, noise=0.015,
                                     motion_blur=1.5, vignette=0.25,
-                                    exposure_jitter=0.05),
+                                    exposure_jitter=0.05,
+                                    rolling_shutter=1.5, specular=0.35,
+                                    occluders=2, lr_asym=0.04),
             "heavy": Degradation(texture=0.18, noise=0.03,
                                  motion_blur=3.0, vignette=0.4,
-                                 exposure_jitter=0.12),
+                                 exposure_jitter=0.12,
+                                 rolling_shutter=3.0, specular=0.6,
+                                 occluders=4, lr_asym=0.08),
         }[level]
 
 
@@ -224,6 +240,76 @@ def _motion_blur(img: np.ndarray, length: float, theta: float) -> np.ndarray:
     return acc / n
 
 
+def _rolling_shutter(img: np.ndarray, skew_px: float) -> np.ndarray:
+    """CMOS readout shear: row v shifts horizontally by
+    skew_px * (v/H - 0.5), subpixel via a two-tap blend."""
+    H, W = img.shape
+    shifts = skew_px * (np.arange(H) / H - 0.5)
+    i0 = np.floor(shifts).astype(int)
+    frac = (shifts - i0)[:, None].astype(np.float32)
+    out = np.empty_like(img)
+    for v in range(H):          # per-row roll (cheap at these sizes)
+        a = np.roll(img[v], i0[v])
+        b = np.roll(img[v], i0[v] + 1)
+        out[v] = a
+        if frac[v, 0] > 0:
+            out[v] = (1 - frac[v, 0]) * a + frac[v, 0] * b
+    return out
+
+
+def _add_speculars(img: np.ndarray, rng: np.random.Generator,
+                   intensity: float, n: int) -> np.ndarray:
+    """Saturating view-dependent highlight blobs (stereo outliers:
+    callers draw DIFFERENT blobs per eye)."""
+    H, W = img.shape
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    for _ in range(n):
+        cx_ = rng.uniform(0.1 * W, 0.9 * W)
+        cy_ = rng.uniform(0.1 * H, 0.9 * H)
+        sig = rng.uniform(2.0, 9.0)
+        r2 = (xs - cx_) ** 2 + (ys - cy_) ** 2
+        img = img + intensity * np.exp(-r2 / (2 * sig * sig))
+    return img
+
+
+class _Occluder(NamedTuple):
+    pos: np.ndarray             # (2,) px center
+    vel: np.ndarray             # (2,) px/frame
+    size: np.ndarray            # (2,) px half-axes
+    shade: float
+
+
+def _make_occluders(rng: np.random.Generator, n: int, H: int, W: int):
+    return [_Occluder(
+        pos=np.array([rng.uniform(-0.2 * W, 1.2 * W),
+                      rng.uniform(0.25 * H, 0.9 * H)]),
+        vel=np.array([rng.choice([-1, 1]) * rng.uniform(2.0, 9.0),
+                      rng.uniform(-1.0, 1.0)]),
+        size=np.array([rng.uniform(0.03, 0.09) * W,
+                       rng.uniform(0.08, 0.25) * H]),
+        shade=rng.uniform(0.15, 0.45)) for _ in range(n)]
+
+
+def _draw_occluder(img: np.ndarray, o: "_Occluder", frame: int,
+                   disp_px: float = 0.0) -> None:
+    """Filled soft-edged ellipse at the occluder's frame-k position
+    (``disp_px`` shifts it for the right eye — occluders are CLOSER
+    than the scene, so their disparity is larger)."""
+    H, W = img.shape
+    cx_, cy_ = o.pos + frame * o.vel
+    cx_ -= disp_px
+    ax, ay = o.size
+    xmin = int(max(cx_ - ax - 2, 0)); xmax = int(min(cx_ + ax + 2, W - 1))
+    ymin = int(max(cy_ - ay - 2, 0)); ymax = int(min(cy_ + ay + 2, H - 1))
+    if xmax <= xmin or ymax <= ymin:
+        return
+    ys, xs = np.mgrid[ymin:ymax + 1, xmin:xmax + 1].astype(np.float32)
+    r = ((xs - cx_) / ax) ** 2 + ((ys - cy_) / ay) ** 2
+    alpha = np.clip((1.0 - r) * 4.0, 0, 1)
+    reg = img[ymin:ymax + 1, xmin:xmax + 1]
+    img[ymin:ymax + 1, xmin:xmax + 1] = reg + alpha * (o.shade - reg)
+
+
 def _vignette_gain(H: int, W: int, strength: float) -> np.ndarray:
     ys = (np.arange(H) - H / 2) / (H / 2)
     xs = (np.arange(W) - W / 2) / (W / 2)
@@ -233,7 +319,8 @@ def _vignette_gain(H: int, W: int, strength: float) -> np.ndarray:
 
 def render_frame(world: SyntheticWorld, T_wc: np.ndarray, cam,
                  rng: np.random.Generator, noise: float = 0.01,
-                 degrade: Optional[Degradation] = None
+                 degrade: Optional[Degradation] = None,
+                 occluders=None, frame_idx: int = 0
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Render a stereo pair for camera-to-world pose T_wc. Returns (imL, imR)."""
     H, W = cam.height, cam.width
@@ -244,10 +331,16 @@ def render_frame(world: SyntheticWorld, T_wc: np.ndarray, cam,
     d = degrade if degrade is not None else Degradation(noise=noise)
 
     # per-frame camera effects shared by both eyes (a stereo rig has one
-    # shutter): blur direction, exposure gain
+    # shutter): blur direction, exposure gain, rolling-shutter skew;
+    # the L/R photometric mismatch is per-frame too (auto-exposure on
+    # imperfectly synced sensors)
     blur_theta = rng.uniform(-0.35, 0.35)
     gain = 1.0 + (rng.normal(0, d.exposure_jitter)
                   if d.exposure_jitter > 0 else 0.0)
+    rs_skew = (rng.uniform(-d.rolling_shutter, d.rolling_shutter)
+               if d.rolling_shutter > 0 else 0.0)
+    asym_g = (rng.normal(0, d.lr_asym) if d.lr_asym > 0 else 0.0)
+    asym_o = (rng.normal(0, 0.5 * d.lr_asym) if d.lr_asym > 0 else 0.0)
     vig = _vignette_gain(H, W, d.vignette) if d.vignette > 0 else None
 
     imgs = []
@@ -278,12 +371,28 @@ def render_frame(world: SyntheticWorld, T_wc: np.ndarray, cam,
                 continue
             img[vi - S:vi + S + 1, ui - S:ui + S + 1] = patches[i]
 
+        # dynamic occluders: temporally coherent blobs crossing the
+        # scene (make_sequence owns their tracks); closer than the
+        # scene, so the right eye sees them at a larger disparity
+        if occluders:
+            for o in occluders:
+                _draw_occluder(img, o, frame_idx,
+                               disp_px=(0.0 if eye == 0
+                                        else 0.18 * fx * b / 4.0))
+        # speculars are VIEW-DEPENDENT: each eye draws different blobs
+        if d.specular > 0:
+            img = _add_speculars(img, rng, d.specular, d.n_speculars)
         if d.motion_blur > 0:
             img = _motion_blur(img, d.motion_blur, blur_theta)
+        if d.rolling_shutter > 0:
+            img = _rolling_shutter(img, rs_skew)
         if vig is not None:
             img = img * vig
-        if gain != 1.0:
-            img = img * gain
+        eye_gain, eye_off = gain, 0.0
+        if eye == 1 and d.lr_asym > 0:
+            eye_gain = gain * (1.0 + asym_g)
+            eye_off = asym_o
+        img = img * eye_gain + eye_off
         if d.noise > 0:
             img = img + rng.normal(0, d.noise, img.shape).astype(np.float32)
         imgs.append(np.clip(img, 0, 1).astype(np.float32))
@@ -326,10 +435,14 @@ def make_sequence(cam, n_frames: int = 12, seed: int = 0, kind: str = "forward",
                        layout="ring" if kind == "loop" else "frustum")
     poses = make_trajectory(n_frames, kind=kind, step=step, yaw_rate=yaw_rate,
                             rng=rng)
+    occ = None
+    if degrade is not None and degrade.occluders > 0:
+        occ = _make_occluders(rng, degrade.occluders,
+                              cam.height, cam.width)
     ims_l, ims_r = [], []
     for i in range(n_frames):
         il, ir = render_frame(world, poses[i], cam, rng, noise=noise,
-                              degrade=degrade)
+                              degrade=degrade, occluders=occ, frame_idx=i)
         ims_l.append(il)
         ims_r.append(ir)
     return SyntheticSequence(world, poses, np.stack(ims_l), np.stack(ims_r))

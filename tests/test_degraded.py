@@ -88,3 +88,50 @@ def test_vo_ate_band_under_degradation():
     assert ates["clean"] < 0.05, ates
     assert ates["moderate"] < max(4 * ates["clean"], 0.12), ates
     assert ates["heavy"] < 0.35, ates
+
+
+@pytest.mark.slow
+def test_full_slam_ate_band_under_degradation():
+    """FULL SLAM (fused driver: mapping + LBA + loop closure) must hold
+    its ATE band under the extended degradation model (rolling shutter,
+    per-eye speculars, dynamic occluders, L/R photometric asymmetry on
+    top of texture/noise/blur/vignette/exposure) — the round-3 verdict's
+    closest rig-compatible stand-in for the real-dataset gate."""
+    from plslam_tpu.backend.fused_slam import FusedPLSLAM
+    cfg = CFG.with_updates({
+        "mapping": {"max_kfs": 64, "max_points": 8192, "max_lines": 256,
+                    "window_kfs": 4, "fixed_kfs": 2, "lba_iters": 5},
+        "keyframe": {"min_entropy_ratio": 2.0},   # KF every frame
+        "loop": {"enabled": True, "min_kf_separation": 12,
+                 "consistency_window": 2, "lc_inl": 15,
+                 "lc_trs": 3.0, "lc_rot": 60.0},
+        "system": {"kf_batch": 6}})
+    chunk, n = 10, 41
+    stats = {}
+    for level in ("clean", "moderate", "heavy"):
+        seq = synthetic.make_sequence(CAM, n_frames=n, seed=21,
+                                      kind="loop", n_points=700,
+                                      n_lines=40, step=0.35,
+                                      degrade=Degradation.preset(level))
+        u8 = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        il, ir = u8(np.asarray(seq.images_l)), u8(np.asarray(seq.images_r))
+        slam = FusedPLSLAM(cfg, CAM)
+        slam.initialize(il[0], ir[0])
+        for lo in range(1, n, chunk):
+            slam.process_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
+        est = slam.finish()
+        stats[level] = (float(ate_rmse(est, seq.poses[:len(est)])),
+                        slam.loop_closer.n_loops_closed)
+        slam.close()
+    ates = {k: v[0] for k, v in stats.items()}
+    assert ates["clean"] < 0.12, stats
+    assert ates["moderate"] < 0.30, stats
+    # heavy (rolling shutter + speculars + occluders + L/R asymmetry at
+    # their max preset) drifts hard on this fast circle — the band is
+    # wide, and the loop closures must be HELPING, not hurting
+    # (measured: 0.90 with loops vs 1.16 loops-off at tuning time)
+    assert ates["heavy"] < 1.1, stats
+    # the loop must still close at every degradation level
+    assert stats["clean"][1] >= 1, stats
+    assert stats["moderate"][1] >= 1, stats
+    assert stats["heavy"][1] >= 1, stats
