@@ -97,6 +97,11 @@ def _main_chunked(args, cfg, ds) -> int:
         t_r, r_r = rpe(est, ds.gt_poses[:len(est)])
         print(f"ATE RMSE: {a:.4f} m | RPE: {t_r:.4f} m / "
               f"{np.rad2deg(r_r):.4f} deg")
+        from plslam_tpu.utils.evaluation import kitti_odometry_error
+        t_pct, r_dm, n_seg = kitti_odometry_error(est, ds.gt_poses[:len(est)])
+        if n_seg:   # needs >= 100 m of ground-truth path
+            print(f"KITTI odometry error: {t_pct:.2f} % / "
+                  f"{r_dm:.4f} deg/m over {n_seg} segments")
     if args.out:
         save_tum(args.out, est)
         print("trajectory saved to", args.out)

@@ -45,6 +45,13 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=80)
     ap.add_argument("--chunk", type=int, default=20)
     ap.add_argument("--no-loops", action="store_true")
+    ap.add_argument("--distributed", action="store_true",
+                    help="route every session's window LBA through the "
+                         "owner-sharded multi-device solver "
+                         "(mapping.distributed; the full staged config "
+                         "5: concurrent sequences AND sharded BA in one "
+                         "runtime — on this rig over the simulated CPU "
+                         "mesh, on a pod over ICI)")
     args = ap.parse_args()
 
     from plslam_tpu.config import SlamConfig
@@ -53,22 +60,43 @@ def main() -> None:
     from plslam_tpu.utils.evaluation import ate_rmse
 
     cfg = SlamConfig()
-    if cfg.system.fused_slam:
-        from plslam_tpu.backend.fused_slam import FusedPLSLAM as Driver
-    else:
-        from plslam_tpu.backend.slam_system import ChunkedPLSLAM as Driver
+    if args.distributed:
+        # the sharded LBA lives on the per-KF mapping path; the
+        # per-frame PLSLAM driver routes every window solve through
+        # backend.map_handler.mapping_step_distributed (sync mapping:
+        # the sharded program IS the concurrency story here)
+        cfg = cfg.with_updates({"mapping": {"distributed": True},
+                                "system": {"async_mapping": False}})
+    Driver = None
+    if not args.distributed:
+        if cfg.system.fused_slam:
+            from plslam_tpu.backend.fused_slam import FusedPLSLAM as Driver
+        else:
+            from plslam_tpu.backend.slam_system import ChunkedPLSLAM as Driver
     cam = StereoCamera.from_config(cfg.camera)
     seqs = [synthetic.make_sequence(cam, n_frames=args.frames, seed=10 + s,
                                     kind="loop" if s % 2 else "forward",
                                     n_points=400, n_lines=60, noise=0.004,
                                     step=0.15)
             for s in range(args.sequences)]
-    slams = [Driver(cfg, cam, enable_loops=not args.no_loops)
-             for _ in range(args.sequences)]
-
-    t0 = time.perf_counter()
-    trajs = run_concurrent(slams, seqs, args.chunk)
-    wall = time.perf_counter() - t0
+    if args.distributed:
+        from plslam_tpu.backend.slam_system import PLSLAM
+        slams = [PLSLAM(cfg, cam) for _ in range(args.sequences)]
+        t0 = time.perf_counter()
+        n_frames = min(len(s.images_l) for s in seqs)
+        for slam, seq in zip(slams, seqs):
+            slam.initialize(seq.images_l[0], seq.images_r[0])
+        for i in range(1, n_frames):
+            for slam, seq in zip(slams, seqs):   # interleave sessions
+                slam.process(seq.images_l[i], seq.images_r[i])
+        trajs = [slam.finish() for slam in slams]
+        wall = time.perf_counter() - t0
+    else:
+        slams = [Driver(cfg, cam, enable_loops=not args.no_loops)
+                 for _ in range(args.sequences)]
+        t0 = time.perf_counter()
+        trajs = run_concurrent(slams, seqs, args.chunk)
+        wall = time.perf_counter() - t0
     total = sum(len(t) for t in trajs)
     for s, (traj, seq) in enumerate(zip(trajs, seqs)):
         a = ate_rmse(traj, seq.poses[:len(traj)])

@@ -64,3 +64,44 @@ def rpe(est: np.ndarray, gt: np.ndarray, delta: int = 1
         rs.append(ang)
     return float(np.sqrt(np.mean(np.array(ts) ** 2))), \
         float(np.sqrt(np.mean(np.array(rs) ** 2)))
+
+
+def kitti_odometry_error(est: np.ndarray, gt: np.ndarray,
+                         lengths=(100.0, 200.0, 300.0, 400.0, 500.0,
+                                  600.0, 700.0, 800.0)):
+    """KITTI odometry benchmark metric: average translational error (%)
+    and rotational error (deg/m) over all subsequences of the standard
+    lengths — the headline accuracy numbers of the PL-SLAM paper's
+    KITTI tables (reference evaluation protocol; SURVEY §6).
+
+    est/gt: (N, 4, 4) camera-to-world poses. Returns
+    (t_err_percent, r_err_deg_per_m, n_segments); NaNs if the
+    trajectory is shorter than the smallest segment length.
+    """
+    n = min(len(est), len(gt))
+    est, gt = np.asarray(est[:n]), np.asarray(gt[:n])
+    # cumulative ground-truth path length per frame
+    steps = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=-1)
+    dist = np.concatenate([[0.0], np.cumsum(steps)])
+
+    t_errs, r_errs = [], []
+    step = 10  # start a segment every 10 frames (KITTI protocol)
+    for first in range(0, n, step):
+        for seg_len in lengths:
+            # first frame at >= seg_len further along the path
+            target = dist[first] + seg_len
+            last = int(np.searchsorted(dist, target))
+            if last >= n:
+                continue
+            dgt = np.linalg.inv(gt[first]) @ gt[last]
+            dest = np.linalg.inv(est[first]) @ est[last]
+            err = np.linalg.inv(dest) @ dgt
+            t_err = np.linalg.norm(err[:3, 3])
+            r_err = np.arccos(np.clip((np.trace(err[:3, :3]) - 1) / 2,
+                                      -1.0, 1.0))
+            t_errs.append(t_err / seg_len)
+            r_errs.append(r_err / seg_len)
+    if not t_errs:
+        return float("nan"), float("nan"), 0
+    return (100.0 * float(np.mean(t_errs)),
+            float(np.degrees(np.mean(r_errs))), len(t_errs))

@@ -254,3 +254,22 @@ def test_loop_verification_from_lines_only():
         np.linalg.inv(T_ab) @ np.asarray(res.T))))
     assert np.linalg.norm(err[:3]) < 0.05, err
     assert np.linalg.norm(err[3:]) < 0.01, err
+
+
+def test_kitti_odometry_error_metric():
+    """kitti_odometry_error: exact on a synthetic straight run with a
+    known relative drift."""
+    from plslam_tpu.utils.evaluation import kitti_odometry_error
+    n = 1500
+    gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    gt[:, 2, 3] = np.arange(n) * 1.0          # 1 m per frame forward
+    # estimate drifts 1% in translation along x
+    est = gt.copy()
+    est[:, 0, 3] = 0.01 * np.arange(n)
+    t_pct, r_deg_m, n_seg = kitti_odometry_error(est, gt)
+    assert n_seg > 100
+    assert abs(t_pct - 1.0) < 0.05, t_pct
+    assert r_deg_m < 1e-6
+    # perfect estimate scores zero
+    t0, r0, _ = kitti_odometry_error(gt, gt)
+    assert t0 < 1e-9 and r0 < 1e-9

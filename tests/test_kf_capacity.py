@@ -160,11 +160,10 @@ def test_map_handler_capacity_fails_loudly():
                                pts_w), None, np.eye(4, dtype=np.float32))
 
 
-@pytest.mark.slow
-def test_fused_soak_beyond_kf_capacity():
-    """Soak: a sequence producing ~3x max_kfs keyframes must run through
-    multiple compactions with a correct full-length trajectory and sane
-    accuracy — the unbounded-sequence bar."""
+def _soak_main() -> None:
+    """Soak body: a sequence producing ~3x max_kfs keyframes must run
+    through multiple compactions with a correct full-length trajectory
+    and sane accuracy — the unbounded-sequence bar."""
     cfg = SMALL
     cam = StereoCamera.from_config(cfg.camera)
     chunk, n = 10, 121
@@ -185,3 +184,29 @@ def test_fused_soak_beyond_kf_capacity():
     a = float(ate_rmse(est, seq.poses[:len(est)]))
     assert a < 0.35, f"soak ATE {a:.3f} m"
     slam.close()
+    print("SOAK_OK", slam.n_compactions, round(a, 4))
+
+
+@pytest.mark.slow
+def test_fused_soak_beyond_kf_capacity():
+    """Runs the soak in a FRESH subprocess: in a long pytest session
+    this is the ~400th compiled executable and jaxlib's CPU JIT
+    segfaults inside backend_compile (reproducible at the same spot in
+    two full-suite runs, never in isolation or in any sub-prefix tried;
+    process isolation sidesteps the jaxlib bug without weakening the
+    assertion — the child still runs the full soak body above)."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    code = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.path.insert(0, {repo + '/tests'!r}); "
+        "from test_kf_capacity import _soak_main; _soak_main()")
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "SOAK_OK" in r.stdout, r.stdout

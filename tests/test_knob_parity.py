@@ -7,23 +7,32 @@ mapHandler.cpp::localBundleAdjustment), ``lite_pass_iters`` (shortened
 GN on non-final chunk passes) and ``kf_batch``. This long loopy
 sequence pins their cost in CI: every variant must hold the baseline
 variant's ATE band and close the same loops.
+
+Runs in ONE fresh subprocess (all variants share the child): late in a
+long pytest session jaxlib's CPU backend_compile segfaults on the next
+large program (reproducible around the ~56th test across reorderings,
+never in isolation); isolating the compile-heaviest modules sidesteps
+the jaxlib bug without weakening any assertion.
 """
+
+import json
+import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 from plslam_tpu.config import SlamConfig
-from plslam_tpu.core.camera import StereoCamera
-from plslam_tpu.io import synthetic
-from plslam_tpu.backend.fused_slam import FusedPLSLAM
-from plslam_tpu.utils.evaluation import ate_rmse
 
 
 BASE = SlamConfig().with_updates({
     "camera": {"width": 384, "height": 240, "fx": 300.0, "fy": 300.0,
                "cx": 192.0, "cy": 120.0, "baseline": 0.25},
     "points": {"max_kpts": 256, "orb_nlevels": 2},
-    "lines": {"has_lines": False},
+    "lines": {"has_lines": False},       # scene renders no lines; keeps
+                                         # the compile set shared with
+                                         # tests/test_kf_capacity.SMALL
     "matching": {"f2f_window": 96.0},
     "mapping": {"max_kfs": 128, "max_points": 8192, "max_lines": 128,
                 "window_kfs": 5, "fixed_kfs": 3, "lba_iters": 5,
@@ -42,56 +51,70 @@ VARIANTS = {
 }
 
 
-@pytest.fixture(scope="module")
-def long_loop_scene():
+def _child_main() -> None:
+    """Runs every variant on the shared 501-frame loop scene and prints
+    one JSON line of stats."""
+    import jax
+    from plslam_tpu.core.camera import StereoCamera
+    from plslam_tpu.io import synthetic
+    from plslam_tpu.backend.fused_slam import FusedPLSLAM
+    from plslam_tpu.utils.evaluation import ate_rmse
+
     cam = StereoCamera.from_config(BASE.camera)
-    n = 501
+    n, chunk = 501, 20
     seq = synthetic.make_sequence(cam, n_frames=n, seed=13, kind="loop",
                                   n_points=600, n_lines=0, noise=0.004,
                                   step=0.05)
     u8 = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    return (cam, n, u8(np.asarray(seq.images_l)),
-            u8(np.asarray(seq.images_r)), np.asarray(seq.poses))
+    il = u8(np.asarray(seq.images_l))
+    ir = u8(np.asarray(seq.images_r))
+    gt = np.asarray(seq.poses)
 
-
-def _run(cfg, cam, n, il, ir):
-    chunk = 20
-    slam = FusedPLSLAM(cfg, cam)
-    slam.initialize(il[0], ir[0])
-    for lo in range(1, n, chunk):
-        slam.process_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
-    est = slam.finish()
-    loops = slam.loop_closer.n_loops_closed
-    kfs = slam._kf_slot + 1
-    slam.close()
-    return est, loops, kfs
+    stats = {}
+    for name, upd in VARIANTS.items():
+        cfg = BASE.with_updates(upd) if upd else BASE
+        slam = FusedPLSLAM(cfg, cam)
+        slam.initialize(il[0], ir[0])
+        for lo in range(1, n, chunk):
+            slam.process_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
+        est = slam.finish()
+        stats[name] = {"ate": float(ate_rmse(est, gt[:len(est)])),
+                       "loops": slam.loop_closer.n_loops_closed,
+                       "kfs": slam._kf_slot + 1}
+        slam.close()
+    print("KNOB_STATS " + json.dumps(stats))
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", list(VARIANTS))
-def test_knob_accuracy_parity(long_loop_scene, name, request):
-    cam, n, il, ir, gt = long_loop_scene
-    cache = request.config.cache
-    # baseline computed once per session and shared across params
-    key = "knob_parity/baseline"
-    base_stats = cache.get(key, None)
-    if base_stats is None:
-        est, loops, kfs = _run(BASE, cam, n, il, ir)
-        base_stats = {"ate": float(ate_rmse(est, gt[:len(est)])),
-                      "loops": loops, "kfs": kfs}
-        cache.set(key, base_stats)
-        assert loops >= 1, "scene must close at least one loop"
-        assert base_stats["ate"] < 0.30, base_stats
-    if name == "baseline":
-        return
-    cfg = BASE.with_updates(VARIANTS[name])
-    est, loops, kfs = _run(cfg, cam, n, il, ir)
-    ate = float(ate_rmse(est, gt[:len(est)]))
-    # the stated band: a knob may not cost more than 35% ATE or 0.02 m
-    # (whichever is larger) vs the baseline variant, and must close the
-    # same number of loops
-    band = max(1.35 * base_stats["ate"], base_stats["ate"] + 0.02)
-    assert ate < band, (name, ate, base_stats)
-    assert loops == base_stats["loops"], (name, loops, base_stats)
-    assert abs(kfs - base_stats["kfs"]) <= max(3, base_stats["kfs"] // 10), \
-        (name, kfs, base_stats)
+def test_knob_accuracy_parity():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"))
+    code = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.path.insert(0, {repo + '/tests'!r}); "
+        "from test_knob_parity import _child_main; _child_main()")
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=2400)
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("KNOB_STATS ")]
+    assert line, r.stdout
+    stats = json.loads(line[-1][len("KNOB_STATS "):])
+
+    base = stats["baseline"]
+    assert base["loops"] >= 1, stats
+    assert base["ate"] < 0.30, stats
+    band = max(1.35 * base["ate"], base["ate"] + 0.02)
+    for name in VARIANTS:
+        if name == "baseline":
+            continue
+        v = stats[name]
+        # the stated band: a knob may not cost more than 35% ATE or
+        # 2 cm (whichever is larger) vs baseline, must close the same
+        # loops, and may not materially change the KF cadence
+        assert v["ate"] < band, (name, stats)
+        assert v["loops"] == base["loops"], (name, stats)
+        assert abs(v["kfs"] - base["kfs"]) <= max(3, base["kfs"] // 10), \
+            (name, stats)
