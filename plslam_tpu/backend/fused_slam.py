@@ -114,8 +114,9 @@ def kf_scan(DT: jnp.ndarray, cov: jnp.ndarray, good: jnp.ndarray,
         frames = c.frames + 1
         crit = ((ratio < k.min_entropy_ratio) | (t_dist > k.max_kf_t_dist)
                 | (r_dist > r_cap))
-        is_kf = (good_i & (frames >= k.min_kf_n_frames) & crit
-                 & (n_fired < kmax))
+        want = good_i & (frames >= k.min_kf_n_frames) & crit
+        is_kf = want & (n_fired < kmax)
+        blocked = want & (n_fired >= kmax)   # cap bound: KF deferred
         eye4 = jnp.eye(4, dtype=jnp.float32)
         c2 = CritCarry(
             cov_kf=cov_new,
@@ -125,11 +126,12 @@ def kf_scan(DT: jnp.ndarray, cov: jnp.ndarray, good: jnp.ndarray,
             frames=jnp.where(is_kf, 0, frames),
             T_acc=jnp.where(is_kf, eye4, T_acc),
             last_step=step)
-        return (c2, n_fired + is_kf.astype(jnp.int32)), (is_kf, T_acc, ratio)
+        return (c2, n_fired + is_kf.astype(jnp.int32)), (is_kf, T_acc,
+                                                         ratio, blocked)
 
-    (carry_out, _), (flags, T_accs, ratios) = lax.scan(
+    (carry_out, _), (flags, T_accs, ratios, blocked) = lax.scan(
         body, (carry, jnp.asarray(0, jnp.int32)), (DT, cov, good))
-    return flags, T_accs, ratios, carry_out
+    return flags, T_accs, ratios, blocked, carry_out
 
 
 # packed host-block layout — ONE flat f32 buffer per chunk, so the
@@ -141,7 +143,7 @@ def kf_scan(DT: jnp.ndarray, cov: jnp.ndarray, good: jnp.ndarray,
 #   (stats[6] is the DEVICE-side KF slot — authoritative numbering, since
 #    chunk k+1 is submitted before chunk k settles)
 #   then scores (kmax*F) | covis (kmax*F) | kf_pose snapshot (F*16)
-_PF = 37
+_PF = 38
 _PS = 25
 
 
@@ -195,7 +197,7 @@ def make_fused_slam_step(cam: StereoCamera, cfg: SlamConfig, kmax: int,
         out = _chunk_tracking_batched(pts, lns, prev_pts, prev_lns,
                                       T_prior0, cam, cfg, keep_feats=False)
         B = out.DT.shape[0]
-        flags, T_accs, ratios, crit2 = kf_scan(
+        flags, T_accs, ratios, blocked, crit2 = kf_scan(
             out.DT, out.cov, out.good, crit, cfg, kmax)
 
         # compress flagged frames into kmax back-end slots
@@ -222,7 +224,8 @@ def make_fused_slam_step(cam: StereoCamera, cfg: SlamConfig, kmax: int,
             flags.astype(f32)[:, None],
             out.n_inliers.astype(f32)[:, None],
             out.err.astype(f32)[:, None],
-            ratios.astype(f32)[:, None]], axis=1)           # (B, _PF)
+            ratios.astype(f32)[:, None],
+            blocked.astype(f32)[:, None]], axis=1)          # (B, _PF)
         slot_blk = jnp.concatenate([
             kf_valid.astype(f32)[:, None],
             frame_idx.astype(f32)[:, None],
@@ -302,6 +305,7 @@ class FusedPLSLAM:
         self._last_settled = None   # (kf_poses, last anchor) for online_pose
         self._compacting = False
         self.n_compactions = 0      # telemetry
+        self.n_kf_deferral_chunks = 0   # chunks where kf_batch bound
 
     # -- MapHandler-compat shims (used by LoopCloser) ------------------------
     def wait_idle(self):
@@ -423,6 +427,19 @@ class FusedPLSLAM:
         T_acc = fb[:, 16:32].reshape(-1, 4, 4)
         good = fb[:, 32] > 0.5
         flags = fb[:, 33] > 0.5
+        if (fb[:B, 37] > 0.5).any():
+            # the criterion wanted more than kf_batch KFs this chunk; the
+            # extra candidate fires next chunk (bounded deferral, see
+            # kf_scan). Persistent deferral shifts KF placement — raise
+            # system.kf_batch or shrink the chunk if accuracy matters.
+            self.n_kf_deferral_chunks += 1
+            if self.n_kf_deferral_chunks == 1:
+                import warnings
+                warnings.warn(
+                    "FusedPLSLAM: keyframe criterion hit the kf_batch "
+                    f"cap ({self.kmax}) in a chunk; KF(s) deferred to "
+                    "the next chunk. If this repeats, raise "
+                    "system.kf_batch for this chunk size.")
         # trajectory integration (fallback to last good step)
         n_kfs_new = 0
         for i in range(B):
