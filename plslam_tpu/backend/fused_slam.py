@@ -93,7 +93,8 @@ def kf_scan(DT: jnp.ndarray, cov: jnp.ndarray, good: jnp.ndarray,
     lost, only deferred by < one chunk.
 
     Returns (flags (B,), T_accs (B,4,4) pose of each frame relative to
-    its preceding KF, ratios (B,), carry_out)."""
+    its preceding KF, ratios (B,), blocked (B,) — frames whose fire was
+    deferred by the kmax cap — and carry_out)."""
     k = cfg.keyframe
     r_cap = np.deg2rad(k.max_kf_r_dist).astype(np.float32)
 
@@ -138,7 +139,7 @@ def kf_scan(DT: jnp.ndarray, cov: jnp.ndarray, good: jnp.ndarray,
 # settle is a single one-buffer fetch (this rig's tunnel charges
 # erratic per-transfer latency, so buffer COUNT matters more than bytes):
 #   per frame (B rows x PF):  [DT flat 16 | T_acc flat 16 | good | flag |
-#                              n_inliers | err | ratio]
+#                              n_inliers | err | ratio | blocked]
 #   per slot (kmax rows x PS): [valid | frame_idx | pose flat 16 | stats 7]
 #   (stats[6] is the DEVICE-side KF slot — authoritative numbering, since
 #    chunk k+1 is submitted before chunk k settles)
@@ -306,6 +307,11 @@ class FusedPLSLAM:
         self._compacting = False
         self.n_compactions = 0      # telemetry
         self.n_kf_deferral_chunks = 0   # chunks where kf_batch bound
+        self.n_evicted_kfs = 0      # non-redundant KFs lost to pressure
+        # (frame_count, [evicted slot ids]) per forced-eviction event —
+        # eviction deletes NON-redundant map history (accuracy loss), so
+        # it is surfaced like KF deferral, not buried in n_compactions
+        self.eviction_events: List[Tuple[int, List[int]]] = []
 
     # -- MapHandler-compat shims (used by LoopCloser) ------------------------
     def wait_idle(self):
@@ -528,8 +534,26 @@ class FusedPLSLAM:
                     # config-constant count (it is a static jit arg —
                     # a data-dependent count would recompile per event)
                     n_evict = min(max(2 * self.kmax, F // 8), F // 4)
+                    valid_before = np.asarray(
+                        jax.device_get(self.state.kf_valid))
                     self.state, _ = force_retire_kfs(
                         self.state, self.cfg, n_evict)
+                    valid_after = np.asarray(
+                        jax.device_get(self.state.kf_valid))
+                    evicted = np.nonzero(valid_before & ~valid_after)[0]
+                    self.n_evicted_kfs += int(evicted.size)
+                    self.eviction_events.append(
+                        (len(self.trajectory),
+                         [int(s) for s in evicted]))
+                    if len(self.eviction_events) == 1:
+                        import warnings
+                        warnings.warn(
+                            "FusedPLSLAM: KF capacity pressure forced "
+                            f"eviction of {evicted.size} NON-redundant "
+                            "keyframe(s) — map history is being lost. "
+                            "Raise mapping.max_kfs for this sequence "
+                            "scale. (Further evictions are recorded in "
+                            "eviction_events without warning.)")
                 old_poses = np.asarray(jax.device_get(self.state.kf_pose))
                 new_state, exact_d, _floor_d, nv_d = compact_keyframes(
                     self.state)
@@ -647,6 +671,9 @@ class FusedPLSLAM:
             "last_step": self._last_step_host,
             "DT_prev": np.asarray(jax.device_get(self.DT_prev)),
             "n_compactions": np.asarray(self.n_compactions, np.int32),
+            "n_kf_deferral_chunks": np.asarray(self.n_kf_deferral_chunks,
+                                               np.int32),
+            "n_evicted_kfs": np.asarray(self.n_evicted_kfs, np.int32),
         }
         for i, leaf in enumerate(jax.device_get(tuple(self._crit))):
             extra[f"crit_{i}"] = np.asarray(leaf)
@@ -697,6 +724,9 @@ class FusedPLSLAM:
         self._last_step_host = np.asarray(extra["last_step"], np.float32)
         self.DT_prev = jnp.asarray(extra["DT_prev"])
         self.n_compactions = int(extra.get("n_compactions", 0))
+        self.n_kf_deferral_chunks = int(
+            extra.get("n_kf_deferral_chunks", 0))
+        self.n_evicted_kfs = int(extra.get("n_evicted_kfs", 0))
         self._crit = CritCarry(*[jnp.asarray(extra[f"crit_{i}"])
                                  for i in range(len(CritCarry._fields))])
         # feature containers are flat NamedTuples of arrays, so the

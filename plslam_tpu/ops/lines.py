@@ -296,14 +296,35 @@ def merge_segments(sp: jnp.ndarray, ep: jnp.ndarray, score: jnp.ndarray,
     return sp_m, ep_m, ang_m, jnp.where(is_root, wsum, 0.0), is_root
 
 
-def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
-                    grad_th: float = 0.02, min_support: float = 1.0,
-                    elong_th: float = 2.5, perp_spread_th: float = 2.2,
-                    coherence_th: float = 0.6, merge_iters: int = 8,
-                    merge_ang_th: float = 0.1, merge_dist_th: float = 2.0,
-                    merge_gap_th: float = 14.0,
-                    min_length: float = 12.0) -> Segments:
-    """Detect up to ``max_lines`` segments in one (H, W) image."""
+class TileStage(NamedTuple):
+    """Intermediate state between the tile-labeling stage and the
+    per-label refit — exposed so tests can pin the compact-root-space
+    refit against a full-membership reference on the same label field
+    (the refit math was rewritten in round 4; see tests/test_line_refit
+    _parity.py)."""
+    labels: jnp.ndarray    # (Th, Tw) int32 connected-component labels
+    tile_ok: jnp.ndarray   # (Th, Tw) bool gate survivors
+    S: jnp.ndarray         # (Th, Tw) support mass
+    Sx: jnp.ndarray        # window-LOCAL first/second moments
+    Sy: jnp.ndarray
+    Sxx: jnp.ndarray
+    Syy: jnp.ndarray
+    Sxy: jnp.ndarray
+    cx: jnp.ndarray        # (Th, Tw) centroids, IMAGE coordinates
+    cy: jnp.ndarray
+    cx_l: jnp.ndarray      # centroids, window-LOCAL coordinates
+    cy_l: jnp.ndarray
+    l1: jnp.ndarray        # (Th, Tw) major eigenvalue (tile extent)
+
+
+def tile_stage(img: jnp.ndarray, tile: int = 16,
+               grad_th: float = 0.02, min_support: float = 1.0,
+               elong_th: float = 2.5, perp_spread_th: float = 2.2,
+               coherence_th: float = 0.6, merge_iters: int = 8,
+               merge_ang_th: float = 0.1,
+               merge_dist_th: float = 2.0) -> TileStage:
+    """Stages 1-3 of the detector: gradients, gated tile moments,
+    connected-component labels (see module docstring)."""
     H, W = img.shape
     stride = tile // 2
     gx, gy = sobel_gradients(img)
@@ -445,7 +466,24 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
         return hopped.reshape(Th, Tw)
 
     labels = lax.fori_loop(0, merge_iters, prop, labels)
+    return TileStage(labels=labels, tile_ok=tile_ok, S=S, Sx=Sx, Sy=Sy,
+                     Sxx=Sxx, Syy=Syy, Sxy=Sxy, cx=cx, cy=cy,
+                     cx_l=cx_l, cy_l=cy_l, l1=l1)
 
+
+def refit_roots(ts: TileStage, H: int, W: int, tile: int,
+                max_lines: int, min_length: float):
+    """Per-label refit of the tile components into candidate segments.
+
+    Returns (sp (R', 2), ep (R', 2), score (R',)) for the top
+    2*max_lines candidates by support mass (score == 0 marks empty
+    slots) — the input to the segment-level collinear merge."""
+    stride = tile // 2
+    Th, Tw = ts.labels.shape
+    (S, Sx, Sy, Sxx, Syy, Sxy) = (ts.S, ts.Sx, ts.Sy, ts.Sxx, ts.Syy,
+                                  ts.Sxy)
+    cx, cy, cx_l, cy_l, l1 = ts.cx, ts.cy, ts.cx_l, ts.cy_l, ts.l1
+    tile_ok, labels = ts.tile_ok, ts.labels
     # ---- per-label refit in COMPACT root space -------------------------
     # Only ~hundreds of tiles survive the gates, and at most 2*max_lines
     # merged segments are ever consumed — so the member aggregation runs
@@ -456,7 +494,6 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     # index; an (n, n) one-hot materializes a 200 MB pred mask.)
     flat = lambda a: a.reshape(-1)
     lab = flat(labels)
-    n_slots = Th * Tw + 8
     valid_t = flat(tile_ok)
 
     # shift per-tile local moments to a shared image-center origin
@@ -529,7 +566,25 @@ def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
     M1 = 2 * max_lines
     c_s, c_i = lax.top_k(score, M1)
     ctake = lambda a: jnp.take(a, c_i, axis=0)
-    sp_c, ep_c = ctake(sp), ctake(ep)
+    return ctake(sp), ctake(ep), c_s
+
+
+def detect_segments(img: jnp.ndarray, max_lines: int, tile: int = 16,
+                    grad_th: float = 0.02, min_support: float = 1.0,
+                    elong_th: float = 2.5, perp_spread_th: float = 2.2,
+                    coherence_th: float = 0.6, merge_iters: int = 8,
+                    merge_ang_th: float = 0.1, merge_dist_th: float = 2.0,
+                    merge_gap_th: float = 14.0,
+                    min_length: float = 12.0) -> Segments:
+    """Detect up to ``max_lines`` segments in one (H, W) image."""
+    H, W = img.shape
+    ts = tile_stage(img, tile=tile, grad_th=grad_th,
+                    min_support=min_support, elong_th=elong_th,
+                    perp_spread_th=perp_spread_th,
+                    coherence_th=coherence_th, merge_iters=merge_iters,
+                    merge_ang_th=merge_ang_th,
+                    merge_dist_th=merge_dist_th)
+    sp_c, ep_c, c_s = refit_roots(ts, H, W, tile, max_lines, min_length)
     v_c = c_s > 0.0
 
     sp_m, ep_m, ang_m, score_m, v_m = merge_segments(
