@@ -243,6 +243,17 @@ class LoopClosureConfig:
     consistency_window: int = 3     # consecutive-KF temporal consistency votes
     max_loop_candidates: int = 4
     pose_graph_iters: int = 12      # GN iterations on the pose graph
+    # linear solver inside each GN iteration (ref: g2o's choice of
+    # CHOLMOD vs PCG in loopClosureOptimization*G2O). "dense" = one
+    # (6F')^2 LU — exact, O(F'^3), the right call for small graphs;
+    # "pcg" = matrix-free block-Jacobi-preconditioned CG whose H-apply
+    # is two one-hot incidence matmuls per iteration — O(E) per CG
+    # step, the TPU-sparse solver once the dense wall (~300 ms at
+    # F'=512) is the loop-event cost center. "auto" switches at
+    # pose_graph_dense_max live slots.
+    pose_graph_solver: str = "auto"
+    pose_graph_dense_max: int = 128
+    pose_graph_cg_iters: int = 96   # fixed CG schedule per GN step
     # pose-graph edge set (ref: loopClosureOptimizationEssentialGraphG2O
     # vs loopClosureOptimizationCovGraphG2O): "essential" = odometry +
     # loop + strong covisibility edges (>= covis_min_shared shared

@@ -26,7 +26,8 @@ from plslam_tpu.ops.gather import take_mxu
 from plslam_tpu.loop import vocabulary
 from plslam_tpu.loop.database import (BowDatabase, ConsistencyVoter,
                                       select_candidates)
-from plslam_tpu.loop.pose_graph import PoseGraph, optimize_pose_graph
+from plslam_tpu.loop.pose_graph import (PoseGraph, optimize_pose_graph,
+                                        optimize_pose_graph_pcg)
 from plslam_tpu.tracking import pose_gn
 
 
@@ -524,8 +525,20 @@ class LoopCloser:
         g = PoseGraph(poses=poses, pose_valid=pose_valid,
                       edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
                       edge_T=jnp.asarray(eT), edge_w=jnp.asarray(ew))
-        new_d, c0, c1 = optimize_pose_graph(
-            g, iters=cfg.loop.pose_graph_iters)
+        # past the dense wall (the (6Fb)^2 LU is O(Fb^3): ~300 ms at
+        # Fb=512 on chip) the matrix-free PCG solver takes over — the
+        # g2o-sparse-solver role; see pose_graph.optimize_pose_graph_pcg
+        solver = cfg.loop.pose_graph_solver
+        if solver == "auto":
+            solver = ("dense" if Fb <= cfg.loop.pose_graph_dense_max
+                      else "pcg")
+        if solver == "pcg":
+            new_d, c0, c1 = optimize_pose_graph_pcg(
+                g, iters=cfg.loop.pose_graph_iters,
+                cg_iters=cfg.loop.pose_graph_cg_iters)
+        else:
+            new_d, c0, c1 = optimize_pose_graph(
+                g, iters=cfg.loop.pose_graph_iters)
         new_np, c0, c1, valid_np, old_np = jax.device_get(  # ONE round trip
             (new_d, c0, c1, pose_valid, poses))
         self._last_costs = (float(c0), float(c1))

@@ -107,3 +107,117 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 12,
     c0 = cost(g.poses)
     poses1, c1 = lax.fori_loop(0, iters, gn_iter, (g.poses, c0))
     return poses1, c0, c1
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_pose_graph_pcg(g: PoseGraph, iters: int = 12,
+                            cg_iters: int = 96, fix_first: bool = True
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                       jnp.ndarray]:
+    """Gauss-Newton with a MATRIX-FREE block-Jacobi-preconditioned CG
+    linear solve — the sparse pose-graph solver (g2o ``SparseOptimizer``
+    with PCG role) for graphs past the dense (6F)^2 wall.
+
+    The normal matrix is never materialized: H x is applied edge-wise.
+    With J_j = I and J_i = -Ad(Tm^-1) per edge (i, j, w),
+
+        t_e   = Ji_e x_i + x_j
+        (Hx)_i += w_e Ji_e^T t_e        (Hx)_j += w_e t_e
+
+    Edge gathers/scatters run as ONE-HOT INCIDENCE MATMULS (P_i, P_j of
+    shape (E, F)) — TPU-native: the native scatter/gather serializes
+    per index, while (E, F) x (F, 6) contractions ride the MXU and the
+    two incidence operators are built once per solve. The
+    preconditioner is the exact block-diagonal of H (batched 6x6
+    inverses). CG runs a fixed ``cg_iters`` schedule inside the
+    program (data-dependent exit would force a while_loop with the same
+    worst case); iterations past convergence are ~free at these sizes.
+
+    Same contract as ``optimize_pose_graph``: (poses, cost0, cost1),
+    monotone cost acceptance per GN step.
+    """
+    F = g.poses.shape[0]
+    w = g.edge_w
+    Pi = jax.nn.one_hot(g.edge_i, F, dtype=jnp.float32)      # (E, F)
+    Pj = jax.nn.one_hot(g.edge_j, F, dtype=jnp.float32)
+    # zero unused edge slots in the operators themselves so every
+    # downstream contraction is automatically masked
+    Pi = Pi * (w > 0)[:, None]
+    Pj = Pj * (w > 0)[:, None]
+
+    pin = (~g.pose_valid).astype(jnp.float32) * 1e6
+    if fix_first:
+        first = jnp.argmax(g.pose_valid)
+        pin = pin.at[first].add(1e8)
+    diag_scalar = pin + 1e-5 + 1e-6                          # (F,)
+
+    def cost(poses):
+        r = edge_residuals(poses, g)
+        return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+    def gn_iter(_, carry):
+        poses, c = carry
+        r = edge_residuals(poses, g)                         # (E, 6)
+        Tm_inv = jax.vmap(lie.inverse_se3)(g.edge_T)
+        Ji = -jax.vmap(lie.adjoint_se3)(Tm_inv)              # (E, 6, 6)
+
+        # gradient: g_i += w Ji^T r, g_j += w r
+        gi = _einsum_hi("e, e a p, e a -> e p", w, Ji, r)
+        gvec = (_einsum_hi("e f, e p -> f p", Pi, gi)
+                + _einsum_hi("e f, e p -> f p", Pj, w[:, None] * r))
+
+        # exact block diagonal of H for the preconditioner
+        Hii = _einsum_hi("e, e a p, e a q -> e p q", w, Ji, Ji)
+        eye6 = jnp.eye(6)
+        Hd = (_einsum_hi("e f, e p q -> f p q", Pi, Hii)
+              + _einsum_hi("e f, e -> f", Pj, w)[:, None, None]
+              * eye6
+              + diag_scalar[:, None, None] * eye6)           # (F, 6, 6)
+        Minv = jnp.linalg.inv(Hd)
+
+        def applyH(x):                                        # (F, 6)
+            xi = _einsum_hi("e f, f p -> e p", Pi, x)
+            xj = _einsum_hi("e f, f p -> e p", Pj, x)
+            t = _einsum_hi("e a p, e p -> e a", Ji, xi) + xj
+            yi = _einsum_hi("e, e a p, e a -> e p", w, Ji, t)
+            y = (_einsum_hi("e f, e p -> f p", Pi, yi)
+                 + _einsum_hi("e f, e p -> f p", Pj, w[:, None] * t))
+            return y + diag_scalar[:, None] * x
+
+        prec = lambda v: _einsum_hi("f p q, f q -> f p", Minv, v)
+
+        # PCG on H dx = -g
+        b = -gvec
+        b2 = jnp.sum(b * b)
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        z0 = prec(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+
+        def cg_step(_, s):
+            x, rr, z, p, rz = s
+            Hp = applyH(p)
+            pHp = jnp.sum(p * Hp)
+            # frozen once converged/degenerate: alpha = 0 leaves x fixed
+            ok = (pHp > 1e-12) & (rz > 1e-12 * b2 + 1e-30)
+            alpha = jnp.where(ok, rz / jnp.maximum(pHp, 1e-30), 0.0)
+            x = x + alpha * p
+            rr = rr - alpha * Hp
+            z = prec(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = jnp.where(ok, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            p = z + beta * p
+            return (x, rr, z, p, rz_new)
+
+        dx, *_ = lax.fori_loop(0, cg_iters, cg_step,
+                               (x0, r0, z0, p0, rz0))
+        dx = jnp.where(g.pose_valid[:, None], dx, 0.0)
+        new_poses = lie.mm(poses, jax.vmap(lie.exp_se3)(dx))
+        c_new = cost(new_poses)
+        ok = jnp.isfinite(c_new) & (c_new <= c)
+        return (jnp.where(ok, new_poses, poses), jnp.where(ok, c_new, c))
+
+    c0 = cost(g.poses)
+    poses1, c1 = lax.fori_loop(0, iters, gn_iter, (g.poses, c0))
+    return poses1, c0, c1
