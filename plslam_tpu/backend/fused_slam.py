@@ -786,6 +786,10 @@ class FusedPLSLAM:
             db.bows_p = bp
             if db.bows_l is not None:
                 db.bows_l = bl
+            if lc._dist is not None:        # mirror into the sharded DB
+                lc._dist.insert(slot, db.bows_p[slot],
+                                db.bows_l[slot]
+                                if db.bows_l is not None else None)
 
     def close(self):
         if self._upload_q:

@@ -263,6 +263,15 @@ class LoopClosureConfig:
     covis_min_shared: int = 25      # min shared landmarks, essential graph
     covis_min_shared_cov: int = 10  # min shared landmarks, covisibility graph
     covis_edge_weight: float = 1.0  # pose-graph weight of covisibility edges
+    # sharded place recognition (SURVEY §2.3 P7): the per-KF BoW matrix
+    # shards across a 1D 'kf' device mesh; every query scores only its
+    # local shard and merges top-k + covisible baseline with
+    # all_gather/pmax (parallel.dist_vocab.DistRetrieval). Works with
+    # BOTH drivers: the retrieval runs host-side at settle time, so it
+    # composes with the fused single-dispatch chunks (unlike the
+    # sharded LBA, which needs the worker-thread driver).
+    distributed: bool = False
+    dist_devices: int = 0           # 0 = all visible devices
 
 
 @dataclass(frozen=True)

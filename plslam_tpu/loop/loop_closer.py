@@ -25,7 +25,7 @@ from plslam_tpu.ops import hamming
 from plslam_tpu.ops.gather import take_mxu
 from plslam_tpu.loop import vocabulary
 from plslam_tpu.loop.database import (BowDatabase, ConsistencyVoter,
-                                      select_candidates)
+                                      LoopCandidate, select_candidates)
 from plslam_tpu.loop.pose_graph import (PoseGraph, optimize_pose_graph,
                                         optimize_pose_graph_pcg)
 from plslam_tpu.tracking import pose_gn
@@ -210,6 +210,14 @@ class LoopCloser:
                                                cfg.loop.vocab_l)
                  if cfg.lines.has_lines else None)
         self.db = BowDatabase(cfg, voc_p, voc_l)
+        # sharded place recognition (P7): candidate retrieval runs on a
+        # 'kf' device mesh instead of the primary chip's full matrix
+        self._dist = None
+        if cfg.loop.distributed:
+            from plslam_tpu.parallel.dist_vocab import DistRetrieval
+            self._dist = DistRetrieval(
+                cfg, voc_p.n_leaves,
+                voc_l.n_leaves if voc_l is not None else None)
         self.voter = ConsistencyVoter(cfg.loop.consistency_window)
         self.odo_edges = []          # (i, j, T_rel np, w)
         self.covis_edges = []        # (i, j, T_rel np, w, n_shared)
@@ -287,6 +295,8 @@ class LoopCloser:
 
         self.db.bows_p = permute(self.db.bows_p)
         self.db.bows_l = permute(self.db.bows_l)
+        if self._dist is not None:
+            self._dist.remap_slots(perm, n_valid)
         self.voter._streaks.clear()
 
     # -- main entry (called by PLSLAM on every new KF) -----------------------
@@ -385,12 +395,34 @@ class LoopCloser:
                     (int(f), slot, T_rel.astype(np.float32),
                      cfg.loop.covis_edge_weight, int(covis[f])))
 
+        if self._dist is not None:
+            # mirror the freshly-inserted BoW row(s) into the sharded
+            # database — the probe program wrote them to db.bows_*
+            vp = self.db.bows_p[slot]
+            vl = (self.db.bows_l[slot]
+                  if self.db.bows_l is not None else None)
+            self._dist.insert(slot, vp, vl)
         if slot < cfg.loop.min_kf_separation:
             return None
-        scores = scores.copy()              # db.query masking, host-side
-        scores[slot:] = 0.0
-        scores[n_kfs:] = 0.0
-        candidates, baseline = select_candidates(scores, slot, cfg)
+        if self._dist is not None:
+            # sharded candidate retrieval (P7): global top-k + covisible
+            # baseline from the mesh; same semantics as
+            # select_candidates (equivalence: tests/test_dist_vocab.py)
+            vp = self.db.bows_p[slot]
+            vl = (self.db.bows_l[slot]
+                  if self.db.bows_l is not None else None)
+            ts, ti, base = jax.device_get(
+                self._dist.query(slot, n_kfs, vp, vl))
+            baseline = max(float(base), 1e-3)
+            candidates = [
+                LoopCandidate(int(i), float(s) / baseline)
+                for s, i in zip(ts, ti)
+                if s > 0 and float(s) / baseline >= cfg.loop.lc_mat]
+        else:
+            scores = scores.copy()          # db.query masking, host-side
+            scores[slot:] = 0.0
+            scores[n_kfs:] = 0.0
+            candidates, baseline = select_candidates(scores, slot, cfg)
         fired = self.voter.vote(candidates)
         if fired is None:
             return None
