@@ -47,6 +47,12 @@ def main() -> None:
     if os.environ.get("KF_BATCH"):
         cfg = cfg.with_updates(
             {"system": {"kf_batch": int(os.environ["KF_BATCH"])}})
+    if os.environ.get("PLSLAM_BENCH_DRIVER") == "worker":
+        # the worker-thread driver (ChunkedPLSLAM) is the host of the
+        # distributed mapping path (mapping.distributed); this knob
+        # prices staged config 5's single-chip cost vs the fused driver
+        # (VERDICT r4 item 5b) — the delta is recorded in BASELINE.md
+        cfg = cfg.with_updates({"system": {"fused_slam": False}})
     if cfg.system.fused_slam:       # default: single-dispatch fused chunks
         from plslam_tpu.backend.fused_slam import FusedPLSLAM as Driver
     else:
@@ -60,9 +66,9 @@ def main() -> None:
     u8 = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
     il = u8(np.asarray(seq.images_l))
     ir = u8(np.asarray(seq.images_r))
-    stream = bool(os.environ.get("PLSLAM_BENCH_STREAM"))
+    stream_headline = bool(os.environ.get("PLSLAM_BENCH_STREAM"))
     dev_chunks = None
-    if not stream and getattr(Driver, "__name__", "") == "FusedPLSLAM":
+    if getattr(Driver, "__name__", "") == "FusedPLSLAM":
         # pre-stage BEFORE any device fetch happens (pre-poison H2D runs
         # at full tunnel bandwidth; see module docstring)
         import jax
@@ -72,12 +78,12 @@ def main() -> None:
             for lo in range(1, n, chunk)}
         jax.block_until_ready(list(dev_chunks.values()))
 
-    def run():
+    def run(stream: bool = False):
         slam = Driver(cfg, cam)
         slam.initialize(il[0], ir[0])
         t0 = None
         for lo in range(1, n, chunk):
-            if dev_chunks is not None:
+            if dev_chunks is not None and not stream:
                 slam.process_chunk(dev_chunks[lo])
             else:
                 slam.process_chunk(il[lo:lo + chunk], ir[lo:lo + chunk])
@@ -93,6 +99,17 @@ def main() -> None:
         slam, est, wall, n_timed = run()
         best = min(best, wall)
     fps = n_timed / best
+    # BOTH ingest numbers ride the artifact (VERDICT r4 weak 8): the
+    # streaming variant pushes host arrays through the driver's upload
+    # thread over the (by now post-fetch-degraded) tunnel — the honest
+    # naive-host-loop deployment number on this rig.
+    best_s = float("inf")
+    for _ in range(2):
+        _, _, wall_s, n_timed_s = run(stream=True)
+        best_s = min(best_s, wall_s)
+    fps_stream = n_timed_s / best_s
+    if stream_headline:
+        fps = fps_stream
     ate = float(ate_rmse(est, seq.poses[:len(est)]))
 
     # device-time + MFU accounting (VERDICT r3 #2): profiler-measured
@@ -103,6 +120,8 @@ def main() -> None:
            "kfs": slam._kf_slot + 1,
            "loops": slam.loop_closer.n_loops_closed if slam.loop_closer else 0,
            "ate_rmse_m": round(ate, 4),
+           "fps_prestaged": round(n_timed / best, 2),
+           "fps_streaming": round(fps_stream, 2),
            "vs_baseline": round(fps / 22.5, 3)}
     try:
         import jax

@@ -241,6 +241,12 @@ class LoopClosureConfig:
     lc_rot: float = 35.0            # max rotation of the loop correction (deg)
     min_kf_separation: int = 20     # temporal gap before a KF can be a candidate
     consistency_window: int = 3     # consecutive-KF temporal consistency votes
+    # suppress new closures for this many keyframes after one fires
+    # (the DBoW2-era standard — e.g. ORB-SLAM's 10-KF lockout): during
+    # a sustained revisit every KF is a valid candidate, but re-closing
+    # an already-corrected loop buys ~zero accuracy and each closure
+    # costs a pose-graph solve + correction program. 0 = no cooldown.
+    lc_cooldown: int = 10
     max_loop_candidates: int = 4
     pose_graph_iters: int = 12      # GN iterations on the pose graph
     # linear solver inside each GN iteration (ref: g2o's choice of

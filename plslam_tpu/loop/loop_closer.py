@@ -225,6 +225,14 @@ class LoopCloser:
         self.events = []
         self.n_loops_closed = 0
         self.n_edges_dropped = 0     # covis edges lost to the E cap (telemetry)
+        # funnel telemetry: why candidates did or didn't become closures
+        # (mapHandler prints equivalents to stdout; here they are
+        # counters a driver/bench can surface)
+        self.n_candidates = 0        # candidates passing lc_mat
+        self.n_votes_fired = 0       # consistency streaks completing
+        self.n_rej_geom = 0          # verification solve failed/inl/res
+        self.n_rej_unc = 0           # lc_unc covariance gate
+        self.n_rej_corr = 0          # lc_trs/lc_rot correction magnitude
         self.probes_since_close = 10 ** 9   # MapHandler pipelining hint
         self._probe = None           # lazily-built fused per-KF program
 
@@ -404,6 +412,8 @@ class LoopCloser:
             self._dist.insert(slot, vp, vl)
         if slot < cfg.loop.min_kf_separation:
             return None
+        if self.probes_since_close < cfg.loop.lc_cooldown:
+            return None             # post-closure lockout (lc_cooldown)
         if self._dist is not None:
             # sharded candidate retrieval (P7): global top-k + covisible
             # baseline from the mesh; same semantics as
@@ -423,9 +433,11 @@ class LoopCloser:
             scores[slot:] = 0.0
             scores[n_kfs:] = 0.0
             candidates, baseline = select_candidates(scores, slot, cfg)
+        self.n_candidates += len(candidates)
         fired = self.voter.vote(candidates)
         if fired is None:
             return None
+        self.n_votes_fired += 1
         return self._close_loop(map_handler, fired, slot, kf_poses)
 
     # -- verification + optimization -----------------------------------------
@@ -464,9 +476,11 @@ class LoopCloser:
         n_inl = int(n_inl)
         err = float(err)
         if not bool(good) or n_inl < cfg.loop.lc_inl or err > cfg.loop.lc_res:
+            self.n_rej_geom += 1
             return None
         unc = floored_uncertainty(cov, n_inl, err, cfg)
         if not np.isfinite(unc) or unc > cfg.loop.lc_unc:
+            self.n_rej_unc += 1
             return None
         # measured relative pose a->b in pose-graph convention:
         # T_meas = T_a^-1 T_b with T_ab = T_cam_b<-cam_a => T_meas = T_ab^-1
@@ -478,6 +492,7 @@ class LoopCloser:
         r_mag = float(np.degrees(np.arccos(
             np.clip((np.trace(corr[:3, :3]) - 1) / 2, -1, 1))))
         if t_mag > cfg.loop.lc_trs or r_mag > cfg.loop.lc_rot:
+            self.n_rej_corr += 1
             return None
 
         self.loop_edges.append((slot_a, slot_b, T_meas, 2.0))

@@ -46,7 +46,9 @@ BASE = SlamConfig().with_updates({
 VARIANTS = {
     "baseline": {},
     "stride1": {"mapping": {"lba_kf_stride": 1}},   # reference cadence
+    "stride5": {"mapping": {"lba_kf_stride": 5}},   # sparse-LBA edge
     "no_lite": {"tracking": {"lite_pass_iters": 0}},
+    "kf_batch2": {"system": {"kf_batch": 2}},       # tight-slot edge
     "kf_batch8": {"system": {"kf_batch": 8}},
 }
 
@@ -106,15 +108,31 @@ def test_knob_accuracy_parity():
     base = stats["baseline"]
     assert base["loops"] >= 1, stats
     assert base["ate"] < 0.30, stats
-    band = max(1.35 * base["ate"], base["ate"] + 0.02)
+    # band tightened to the MEASURED envelope (VERDICT r4 item 7; was
+    # 35%/2 cm, which a lite-pass-class regression (~13% ATE) cleared).
+    # Measured on this scene (2026-08-21, seed 13, 501 frames, with the
+    # round-5 lc_cooldown active): baseline 0.1508 m / 2 loops / 62 KFs;
+    #   stride1 -3.3%; stride5 +0.05%; no_lite +0.2%; kf_batch8 +0.0%
+    # — all within ~4%, so 15% (or 1 cm absolute, whichever is larger)
+    # flags any lite-pass-class regression while riding out renderer
+    # jitter. kf_batch2 measured +6.2% ATE with 51 KFs / 1 loop: at
+    # chunk=20 the criterion wants >2 KFs per chunk, so the kf_batch
+    # cap DEFERS keyframes every chunk (the driver warns) — the edge
+    # point asserts that this documented under-provisioned mode stays
+    # ATE-bounded, not that it preserves cadence.
+    band = max(1.15 * base["ate"], base["ate"] + 0.01)
     for name in VARIANTS:
         if name == "baseline":
             continue
         v = stats[name]
-        # the stated band: a knob may not cost more than 35% ATE or
-        # 2 cm (whichever is larger) vs baseline, must close the same
-        # loops, and may not materially change the KF cadence
         assert v["ate"] < band, (name, stats)
+        if name == "kf_batch2":
+            # deferral-limited cadence: fewer KFs/loops by design,
+            # accuracy still inside the band (asserted above)
+            assert v["loops"] >= 1, (name, stats)
+            assert v["kfs"] <= base["kfs"], (name, stats)
+            continue
         assert v["loops"] == base["loops"], (name, stats)
-        assert abs(v["kfs"] - base["kfs"]) <= max(3, base["kfs"] // 10), \
+        # final-KF cadence within +-5% (was +-10%)
+        assert abs(v["kfs"] - base["kfs"]) <= max(2, base["kfs"] // 20), \
             (name, stats)
