@@ -59,6 +59,18 @@ def main() -> None:
     if os.environ.get("PLSLAM_LONG_MINENT"):
         cfg = cfg.with_updates({"keyframe": {
             "min_entropy_ratio": float(os.environ["PLSLAM_LONG_MINENT"])}})
+    # loop.lc_trs stays at the config default: an experiment that
+    # raised it to 5 m (reasoning the funnel's rej_corr counts were
+    # good corrections) diverged catastrophically — the magnitude gate
+    # is what keeps an occasional bad verified candidate from warping
+    # the whole graph, exactly its reference role. Env override for
+    # experiments only.
+    if os.environ.get("PLSLAM_LONG_LCTRS"):
+        cfg = cfg.with_updates({"loop": {
+            "lc_trs": float(os.environ["PLSLAM_LONG_LCTRS"])}})
+    if os.environ.get("PLSLAM_LONG_SOLVER"):
+        cfg = cfg.with_updates({"loop": {
+            "pose_graph_solver": os.environ["PLSLAM_LONG_SOLVER"]}})
     cam = StereoCamera.from_config(cfg.camera)
 
     # ---- exactly-periodic circuit + world around the camera path --------
@@ -117,6 +129,24 @@ def main() -> None:
     dev_chunks = {off: jax.device_put(lap_chunk(off)) for off in offsets}
     jax.block_until_ready(list(dev_chunks.values()))
 
+    # ---- warmup: 2 laps with a throwaway driver so the loop-closure
+    # programs (verification, pose graph, post-loop update) compile
+    # OUTSIDE the timed region — the short bench amortizes these over
+    # its in-process warmup pass; without this the first revisit's
+    # compiles (~60 s) land inside the timed run and measure the
+    # compiler, not the engine. (The persistent XLA cache makes repeat
+    # invocations warm even across processes.)
+    warm_laps = int(os.environ.get("WARM_LAPS", "2"))
+    if warm_laps:
+        w = FusedPLSLAM(cfg, cam)
+        w.initialize(il[0], ir[0])
+        for g in range(1, warm_laps * lap + 1, chunk):
+            w.process_chunk(dev_chunks[(g - 1) % lap])
+        w.finish()
+        w.close()
+        print(f"[bench_slam_long] warmup: {warm_laps} laps, "
+              f"{w.loop_closer.n_loops_closed} loops", file=sys.stderr)
+
     # ---- run --------------------------------------------------------------
     n = laps * lap + 1
     slam = FusedPLSLAM(cfg, cam)
@@ -141,8 +171,30 @@ def main() -> None:
     ate_lap = [round(float(np.sqrt((err[k * lap:(k + 1) * lap] ** 2
                                     ).mean())), 4)
                for k in range(laps)]
+    # per-lap SHAPE error (each lap aligned on its own): separates
+    # "locally consistent but globally drifted" from "shape broken" —
+    # the band that must hold across compaction/eviction events
+    ate_lap_shape = [round(float(ate_rmse(est[k * lap:(k + 1) * lap],
+                                          poses[k * lap:(k + 1) * lap])),
+                           4) for k in range(laps)]
 
     lc = slam.loop_closer
+    if os.environ.get("PLSLAM_LONG_DEBUG"):
+        np.savez(os.environ["PLSLAM_LONG_DEBUG"],
+                 est=est, gt=poses[:len(est)],
+                 kf_poses=slam.kf_poses(),
+                 anchor_slots=np.asarray(
+                     [s for s, _ in slam._frame_anchor], np.int32),
+                 anchor_T=np.stack([T for _, T in slam._frame_anchor]),
+                 evict_frames=np.asarray(
+                     [f for f, _ in slam.eviction_events], np.int32),
+                 evict_slots=np.asarray(sum(
+                     [s for _, s in slam.eviction_events], []), np.int32),
+                 loop_pairs=np.asarray(
+                     [(e.kf_from, e.kf_to) for e in lc.events], np.int32
+                     ).reshape(-1, 2),
+                 loop_corr_t=np.asarray(
+                     [e.correction_t for e in lc.events], np.float32))
     out = {"metric": "slam_long_frames_per_sec_chip",
            "value": round(fps, 2), "unit": "fps",
            "frames": n, "kfs_final": slam._kf_slot + 1,
@@ -150,6 +202,7 @@ def main() -> None:
            "loops": lc.n_loops_closed if lc else 0,
            "ate_rmse_m": round(ate, 4),
            "ate_per_lap_m": ate_lap,
+           "ate_per_lap_shape_m": ate_lap_shape,
            "n_compactions": slam.n_compactions,
            "n_evictions": len(slam.eviction_events),
            "evicted_kfs": slam.n_evicted_kfs,

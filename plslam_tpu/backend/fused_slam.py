@@ -533,7 +533,10 @@ class FusedPLSLAM:
                     # backend.map.force_retire_kfs)
                     # config-constant count (it is a static jit arg —
                     # a data-dependent count would recompile per event)
-                    n_evict = min(max(2 * self.kmax, F // 8), F // 4)
+                    # must EXCEED the 2*kmax headroom the next chunks
+                    # need (evicting exactly the margin leaves nv ==
+                    # target and the capacity check below still fires)
+                    n_evict = min(max(3 * self.kmax, F // 8), F // 4)
                     valid_before = np.asarray(
                         jax.device_get(self.state.kf_valid))
                     self.state, _ = force_retire_kfs(
@@ -698,6 +701,10 @@ class FusedPLSLAM:
             extra["lc_covis"] = pack_edges(lc.covis_edges, 5)
             extra["lc_loop"] = pack_edges(lc.loop_edges, 4)
             extra["lc_n_loops"] = np.asarray(lc.n_loops_closed, np.int32)
+            # the post-closure lockout must survive resume (else a
+            # resumed driver may immediately re-close the same loop)
+            extra["lc_probes_since_close"] = np.asarray(
+                min(lc.probes_since_close, 10 ** 9), np.int64)
         save_map(path, self.state, self.cfg, extra=extra)
 
     @classmethod
@@ -763,6 +770,8 @@ class FusedPLSLAM:
                              unpack(extra.get("lc_loop",
                                               np.zeros((0, 19))), 1)]
             lc.n_loops_closed = int(extra.get("lc_n_loops", 0))
+            lc.probes_since_close = int(
+                extra.get("lc_probes_since_close", 10 ** 9))
             self._rebuild_bows()
         self._last_settled = np.asarray(
             jax.device_get(self.state.kf_pose))

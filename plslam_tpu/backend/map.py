@@ -485,10 +485,19 @@ def force_retire_kfs(state: MapState, cfg: SlamConfig, n_retire: int
     removable = (state.kf_valid & (slots_arr > 0)
                  & (slots_arr < state.n_kfs - span)
                  & (slots_arr != newest))
-    # redundancy first; age breaks ties (the tiny negative slot term
-    # scores older slots higher, so the oldest of equally-redundant
-    # KFs is evicted first)
-    score = jnp.where(removable, frac - 1e-4 * slots_arr, -jnp.inf)
+    # redundancy first; among comparably-redundant KFs, evict an
+    # INTERLEAVED set (odd slots first) rather than a contiguous
+    # oldest block: deleting a whole temporal era removes every loop
+    # anchor and landmark first-observer of that era, and long-run
+    # endurance tests showed the trajectory tail paying for it (round
+    # 5: a contiguous 64-KF eviction preceded a 4x ATE cliff in the
+    # final lap). Halving the observation density of the old era keeps
+    # its coverage. The odd-slot bonus (0.1) only reorders KFs whose
+    # redundancy differs by less than that; the tiny age term breaks
+    # remaining ties oldest-first.
+    score = jnp.where(removable,
+                      frac + 0.1 * (slots_arr % 2).astype(frac.dtype)
+                      - 1e-4 * slots_arr, -jnp.inf)
     vals, cand = jax.lax.top_k(score, n_retire)
     do = jnp.isfinite(vals)
 
