@@ -194,7 +194,16 @@ def main() -> None:
                      [(e.kf_from, e.kf_to) for e in lc.events], np.int32
                      ).reshape(-1, 2),
                  loop_corr_t=np.asarray(
-                     [e.correction_t for e in lc.events], np.float32))
+                     [e.correction_t for e in lc.events], np.float32),
+                 odo_edges=np.asarray([(i, j) for i, j, _, _ in
+                                       lc.odo_edges], np.int32
+                                      ).reshape(-1, 2),
+                 loop_edges=np.asarray([(i, j) for i, j, _, _ in
+                                        lc.loop_edges], np.int32
+                                       ).reshape(-1, 2),
+                 covis_edges=np.asarray([(i, j) for i, j, _, _, _ in
+                                         lc.covis_edges], np.int32
+                                        ).reshape(-1, 2))
     out = {"metric": "slam_long_frames_per_sec_chip",
            "value": round(fps, 2), "unit": "fps",
            "frames": n, "kfs_final": slam._kf_slot + 1,

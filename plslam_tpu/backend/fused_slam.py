@@ -465,6 +465,17 @@ class FusedPLSLAM:
         slots_valid = sb[:, 0] > 0.5
         poses = sb[:, 2:18].reshape(n_slots, 4, 4)
         stats = sb[:, 18:25]
+        # sanity tripwire (costs nothing — the buffer is already on
+        # host): an inserted KF pose at an insane magnitude means
+        # upstream state corruption; localize it NOW, not at finish()
+        for j in range(n_slots):
+            if slots_valid[j]:
+                pm = float(np.abs(poses[j][:3, 3]).max())
+                if pm > 1e3:
+                    print(f"[fused_slam] WARNING: settled KF slot "
+                          f"{int(stats[j, 6])} (frame ~"
+                          f"{len(self.trajectory)}) pose |t|={pm:.3g} "
+                          "— state corruption upstream of insertion")
         if slots_valid.any():
             self._next_slot = int(stats[slots_valid, 6].max()) + 1
         corrected = None
@@ -535,8 +546,15 @@ class FusedPLSLAM:
                     # a data-dependent count would recompile per event)
                     # must EXCEED the 2*kmax headroom the next chunks
                     # need (evicting exactly the margin leaves nv ==
-                    # target and the capacity check below still fires)
-                    n_evict = min(max(3 * self.kmax, F // 8), F // 4)
+                    # target and the capacity check below still fires).
+                    # SMALL batches: each evicted KF is deleted map
+                    # history, and deleting a third of the map at once
+                    # (the round-5 F//8=64-KF batches) produced a ~20 m
+                    # trajectory transient while the map rebuilt; more
+                    # frequent, smaller evictions amortize the same
+                    # capacity pressure at a fraction of the accuracy
+                    # cost (each event costs one pipeline drain ~0.5 s)
+                    n_evict = min(max(3 * self.kmax, F // 32), F // 4)
                     valid_before = np.asarray(
                         jax.device_get(self.state.kf_valid))
                     self.state, _ = force_retire_kfs(
@@ -597,10 +615,15 @@ class FusedPLSLAM:
                                          np.eye(4, dtype=np.float32))[0]
             self._next_slot = nv
             if self.loop_closer is not None:
-                self.loop_closer.remap_slots(exact, nv)
+                self.loop_closer.remap_slots(exact, nv,
+                                             old_poses=old_poses)
             with self._lock:
                 self._last_settled = np.asarray(
                     jax.device_get(self.state.kf_pose))
+            pm = float(np.abs(self._last_settled[:nv, :3, 3]).max())
+            if pm > 1e3:
+                print(f"[fused_slam] WARNING: post-compaction KF pose "
+                      f"|t|max={pm:.3g} — compaction-era corruption")
             self.n_compactions += 1
         finally:
             self._compacting = False

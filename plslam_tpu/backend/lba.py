@@ -268,7 +268,16 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
     damp = lam * jnp.maximum(jnp.diagonal(H_cc, axis1=-2, axis2=-1), 1e-3)
     S = S.at[diag_idx, diag_idx].add(
         damp[..., None] * jnp.eye(6) + 1e-6 * jnp.eye(6))
-    pin = jnp.where(free, 0.0, pin_weight)
+    # pin fixed/invalid poses AND free poses with no residual support:
+    # a window KF whose observations were all detached (eviction,
+    # fusion chains) has a ~zero normal block, so its step is fp noise
+    # over the tiny damping floor — and since moving it is COST-
+    # NEUTRAL, the LM accept guard cannot reject it when other poses'
+    # steps reduce cost. Round-5 endurance runs measured such poses
+    # compounding to ~4e5 m. No information => do not move (the same
+    # rule as pose_graph.frozen_mask).
+    support = jnp.diagonal(H_cc, axis1=-2, axis2=-1).sum(-1)    # (W,)
+    pin = jnp.where(free & (support > 1.0), 0.0, pin_weight)
     S = S.at[diag_idx, diag_idx].add(pin[:, None, None] * jnp.eye(6))
 
     Sm = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
@@ -281,11 +290,17 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
     d_pt = -_einsum_hi("p a b, p b -> p a", Hpp_inv, rhs_p)
     rhs_q = g_q + _einsum_hi("w q a b, w a -> q b", H_cq, dxi)
     d_ep = -_einsum_hi("q a b, q b -> q a", Hqq_inv, rhs_q)
-    # only move landmarks that actually have observations
-    d_pt = jnp.where((jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1) > 0
-                      )[:, None], d_pt, 0.0)
-    d_ep = jnp.where((jnp.diagonal(Hqq, axis1=-2, axis2=-1).sum(-1) > 0
-                      )[:, None], d_ep, 0.0)
+    # only move landmarks with MEANINGFUL support: a weakly-observed
+    # landmark (one grazing residual, trace ~1e-5) steps by
+    # ~gradient/(lam*1e-3) — nearly cost-neutral, so the LM accept
+    # guard lets it ride along with good steps and it random-walks to
+    # absurd positions over many solves (round-5 endurance: landmarks
+    # at 4e5 m). A genuinely observed landmark's J^T J trace is >> 1
+    # (J ~ fx/z), so the 1e-4 floor only freezes the degenerate ones.
+    d_pt = jnp.where((jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1)
+                      > 1e-2)[:, None], d_pt, 0.0)
+    d_ep = jnp.where((jnp.diagonal(Hqq, axis1=-2, axis2=-1).sum(-1)
+                      > 1e-2)[:, None], d_ep, 0.0)
     return dxi, d_pt, d_ep
 
 

@@ -624,10 +624,18 @@ def fuse_loop_landmarks(state: MapState, slot_a: jnp.ndarray,
     remap = jnp.arange(P, dtype=jnp.int32)
     remap = remap.at[jnp.where(fuse, dup, P)].set(
         jnp.where(fuse, keep, 0), mode="drop")
+    # make the remap TRANSITIVE: slot x may be the dup of one pair and
+    # the keep of another (remap[a]=b while remap[b]=c). Without the
+    # closure, observations land on slot b — which the dup pass below
+    # INVALIDATES — and when b is later reallocated to a brand-new
+    # landmark, those stale rows silently re-bind to it (position
+    # aliasing that LBA then optimizes against). Two pointer-jumping
+    # hops resolve any chain the single-batch matcher can produce.
+    remap = remap[remap]
+    remap = remap[remap]
     o = state.obs_pt_lm
     obs_pt_lm = jnp.where(o >= 0, remap[jnp.maximum(o, 0)], -1)
-    pt_valid = state.pt_valid.at[jnp.where(fuse, dup, P)].set(
-        False, mode="drop")
+    pt_valid = state.pt_valid & (remap == jnp.arange(P, dtype=jnp.int32))
     pt_nobs = state.pt_nobs.at[jnp.where(fuse, keep, P)].add(
         jnp.where(fuse, state.pt_nobs[dup], 0), mode="drop")
     state = state._replace(obs_pt_lm=obs_pt_lm, pt_valid=pt_valid,
@@ -657,10 +665,11 @@ def fuse_loop_landmarks(state: MapState, slot_a: jnp.ndarray,
     lremap = jnp.arange(M, dtype=jnp.int32)
     lremap = lremap.at[jnp.where(lfuse, ldup, M)].set(
         jnp.where(lfuse, lkeep, 0), mode="drop")
+    lremap = lremap[lremap]          # transitive closure (see points)
+    lremap = lremap[lremap]
     lo = state.obs_ln_lm
     obs_ln_lm = jnp.where(lo >= 0, lremap[jnp.maximum(lo, 0)], -1)
-    ln_valid = state.ln_valid.at[jnp.where(lfuse, ldup, M)].set(
-        False, mode="drop")
+    ln_valid = state.ln_valid & (lremap == jnp.arange(M, dtype=jnp.int32))
     ln_nobs = state.ln_nobs.at[jnp.where(lfuse, lkeep, M)].add(
         jnp.where(lfuse, state.ln_nobs[ldup], 0), mode="drop")
     state = state._replace(obs_ln_lm=obs_ln_lm, ln_valid=ln_valid,

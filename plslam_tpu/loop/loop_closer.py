@@ -26,7 +26,8 @@ from plslam_tpu.ops.gather import take_mxu
 from plslam_tpu.loop import vocabulary
 from plslam_tpu.loop.database import (BowDatabase, ConsistencyVoter,
                                       LoopCandidate, select_candidates)
-from plslam_tpu.loop.pose_graph import (PoseGraph, optimize_pose_graph,
+from plslam_tpu.loop.pose_graph import (PoseGraph, frozen_mask,
+                                        optimize_pose_graph,
                                         optimize_pose_graph_pcg)
 from plslam_tpu.tracking import pose_gn
 
@@ -233,6 +234,7 @@ class LoopCloser:
         self.n_rej_geom = 0          # verification solve failed/inl/res
         self.n_rej_unc = 0           # lc_unc covariance gate
         self.n_rej_corr = 0          # lc_trs/lc_rot correction magnitude
+        self.n_frozen_events = 0     # graph solves with disconnected KFs
         self.probes_since_close = 10 ** 9   # MapHandler pipelining hint
         self._probe = None           # lazily-built fused per-KF program
 
@@ -249,18 +251,45 @@ class LoopCloser:
                    for c in self.voter._streaks.values())
         return near or self.probes_since_close < 8
 
-    def remap_slots(self, exact_map: np.ndarray, n_valid: int) -> None:
+    def remap_slots(self, exact_map: np.ndarray, n_valid: int,
+                    old_poses: Optional[np.ndarray] = None) -> None:
         """Rewrite all slot-valued host state after a KF-slot compaction
         (backend.map.compact_keyframes): ``exact_map[old] = new`` slot or
         -1 for retired-and-dropped slots.
 
         Odometry edges crossing a dropped KF are COMPOSED (their relative
-        transforms chain exactly), so the graph stays connected;
-        covisibility/loop edges touching a dropped slot are removed (a
-        floor-remap would silently change what the measurement relates).
-        BoW rows are permuted on device; consistency streaks reset (at
-        most ``consistency_window`` votes of warm-up lost)."""
+        transforms chain exactly), so the graph stays connected.
+        Covisibility/loop edges touching a dropped slot are RE-EXPRESSED
+        against the nearest surviving earlier KF when ``old_poses`` (the
+        pre-compaction pose snapshot) is available — the measurement
+        composes exactly with the survivors' relative pose, the same
+        math the frame anchors use; without the snapshot they are
+        dropped. Keeping them matters: the round-5 endurance run showed
+        a ~20 m trajectory transient in the compaction era when the
+        eviction deleted that era's loop stitching wholesale. BoW rows
+        are permuted on device; consistency streaks reset (at most
+        ``consistency_window`` votes of warm-up lost)."""
         exact = np.asarray(exact_map)
+        F = exact.shape[0]
+        # nearest surviving old slot at-or-before s (for re-expression)
+        floor_old = np.full((F,), -1, np.int64)
+        last = -1
+        for s in range(F):
+            if exact[s] >= 0:
+                last = s
+            floor_old[s] = last
+
+        def move_end(s):
+            """old slot -> (new slot, T_corr = T_s'^-1 T_s) through the
+            nearest surviving earlier KF s' (identity if s survives)."""
+            if exact[s] >= 0:
+                return int(exact[s]), np.eye(4, dtype=np.float32)
+            sp = int(floor_old[s])
+            if sp < 0 or old_poses is None:
+                return -1, None
+            T_corr = (np.linalg.inv(old_poses[sp])
+                      @ old_poses[s]).astype(np.float32)
+            return int(exact[sp]), T_corr
 
         odo = sorted(self.odo_edges, key=lambda e: e[0])
         new_odo = []
@@ -278,14 +307,35 @@ class LoopCloser:
             else:
                 chain = (start, j, T_acc)    # j dropped: keep composing
         self.odo_edges = new_odo
-        self.covis_edges = [
-            (int(exact[i]), int(exact[j]), T, w, ns)
-            for (i, j, T, w, ns) in self.covis_edges
-            if exact[i] >= 0 and exact[j] >= 0]
-        self.loop_edges = [
-            (int(exact[i]), int(exact[j]), T, w)
-            for (i, j, T, w) in self.loop_edges
-            if exact[i] >= 0 and exact[j] >= 0]
+
+        def remap_pair(i, j, T):
+            """Edge T = T_i^-1 T_j re-expressed between survivors:
+            T' = T_corr_i @ T @ T_corr_j^-1."""
+            i2, Ci = move_end(i)
+            j2, Cj = move_end(j)
+            if i2 < 0 or j2 < 0 or i2 == j2:
+                return None
+            T2 = T
+            if Ci is not None and not np.array_equal(Ci, np.eye(4)):
+                T2 = Ci @ T2
+            if Cj is not None and not np.array_equal(Cj, np.eye(4)):
+                T2 = T2 @ np.linalg.inv(Cj)
+            return (min(i2, j2), max(i2, j2),
+                    (T2 if i2 < j2 else np.linalg.inv(T2)
+                     ).astype(np.float32))
+
+        new_covis = []
+        for (i, j, T, w, ns) in self.covis_edges:
+            r = remap_pair(i, j, T)
+            if r is not None:
+                new_covis.append((r[0], r[1], r[2], w, ns))
+        self.covis_edges = new_covis
+        new_loops = []
+        for (i, j, T, w) in self.loop_edges:
+            r = remap_pair(i, j, T)
+            if r is not None:
+                new_loops.append((r[0], r[1], r[2], w))
+        self.loop_edges = new_loops
 
         # permute BoW rows: new row n reads old row perm[n]; tail zeroed
         F = exact.shape[0]
@@ -497,12 +547,48 @@ class LoopCloser:
 
         self.loop_edges.append((slot_a, slot_b, T_meas, 2.0))
         new_full = self._optimize_graph(map_handler, kf_poses)
+        if new_full is not None:
+            pm = float(np.abs(new_full[:, :3, 3]).max())
+            if pm > 1e3:
+                bad = np.nonzero(
+                    np.abs(new_full[:, :3, 3]).max(-1) > 1e4)[0]
+                print(f"[loop_closer] WARNING: graph solve returned "
+                      f"|t|max={pm:.3g} at slots {bad.tolist()[:8]} "
+                      f"(loop {slot_a}->{slot_b})")
         # apply the correction + fuse duplicate landmarks + re-converge
         # the local window with one LBA pass, all as ONE device program
         # (the reference gets the re-convergence implicitly from the next
         # KF's LBA; the fused batch path may insert several KFs first)
         from plslam_tpu.backend.map import fuse_loop_landmarks
         corrected = None
+        import os as _os
+        if _os.environ.get("PLSLAM_LC_DEBUG") and new_full is not None:
+            # staged application with per-stage pose/landmark magnitude
+            # fetches — debugging path for map-corruption hunts only
+            from plslam_tpu.backend.map_handler import run_window_lba
+            with map_handler._lock:
+                st = apply_graph_correction(map_handler.state,
+                                            jnp.asarray(new_full))
+                m1 = float(jnp.abs(st.kf_pose[:, :3, 3]).max())
+                st, _ = fuse_loop_landmarks(st, jnp.asarray(slot_a),
+                                            jnp.asarray(slot_b), cfg)
+                m2 = float(jnp.abs(st.kf_pose[:, :3, 3]).max())
+                mp = float(jnp.abs(jnp.where(
+                    st.pt_valid[:, None], st.pt_pos, 0.0)).max())
+                st, _, _, _ = run_window_lba(st, self.cam, cfg)
+                m3 = float(jnp.abs(st.kf_pose[:, :3, 3]).max())
+                if max(m1, m2, m3) > 1e4 or mp > 1e4:
+                    print(f"[lc-debug] loop {slot_a}->{slot_b} stage "
+                          f"|t|max: corr {m1:.3g} fuse {m2:.3g} "
+                          f"(pt {mp:.3g}) lba {m3:.3g}")
+                map_handler.state = st
+                corrected = np.asarray(jax.device_get(st.kf_pose))
+            self.n_loops_closed += 1
+            self.probes_since_close = 0
+            ev = LoopEvent(slot_a, slot_b, n_inl, err, t_mag, r_mag,
+                           self._last_costs[0], self._last_costs[1])
+            self.events.append(ev)
+            return corrected
         with map_handler._lock:
             if new_full is not None:
                 state, _ = _post_loop_update(
@@ -510,6 +596,11 @@ class LoopCloser:
                     jnp.asarray(slot_a), jnp.asarray(slot_b),
                     self.cam, cfg)
                 corrected = np.asarray(jax.device_get(state.kf_pose))
+                pm = float(np.abs(corrected[:, :3, 3]).max())
+                if pm > 1e3:
+                    print(f"[loop_closer] WARNING: post-loop-update "
+                          f"KF pose |t|max={pm:.3g} — correction "
+                          "corrupted the map")
             else:  # graph solve failed: still fuse duplicates
                 state, _ = fuse_loop_landmarks(
                     map_handler.state, jnp.asarray(slot_a),
@@ -572,6 +663,16 @@ class LoopCloser:
         g = PoseGraph(poses=poses, pose_valid=pose_valid,
                       edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
                       edge_T=jnp.asarray(eT), edge_w=jnp.asarray(ew))
+        # gauge-connectivity telemetry: disconnected KFs are frozen by
+        # the solvers (pose_graph.frozen_mask); any occurrence means
+        # edges were lost (e.g. at compaction) and is worth a loud line
+        frz = frozen_mask(g)
+        n_frz = int(frz.sum())
+        if n_frz:
+            self.n_frozen_events += 1
+            print(f"[loop_closer] pose graph: {n_frz} keyframe(s) "
+                  "disconnected from the gauge component — frozen at "
+                  "current estimates (edges lost at compaction?)")
         # past the dense wall (the (6Fb)^2 LU is O(Fb^3): ~300 ms at
         # Fb=512 on chip) the matrix-free PCG solver takes over — the
         # g2o-sparse-solver role; see pose_graph.optimize_pose_graph_pcg

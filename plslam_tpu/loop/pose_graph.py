@@ -43,6 +43,49 @@ class PoseGraph(NamedTuple):
     edge_w: jnp.ndarray       # (E,) weight (0 = unused slot)
 
 
+def frozen_mask(g: PoseGraph) -> np.ndarray:
+    """(F,) bool — poses NOT connected to the gauge component.
+
+    A slot reachable (through used edges) from the first valid pose is
+    constrained relative to the gauge; anything else — an edge-less
+    orphan or a small component only connected internally (e.g. a
+    loop-edge pair whose odometry neighbors were compacted away) — can
+    translate freely WITHOUT changing the cost, so the solvers' accept
+    guard cannot catch it drifting and the near-zero diagonal pin
+    amplifies gradient noise into kilometre-scale excursions (observed
+    in the round-5 endurance run: two KFs connected only to each other
+    catapulted 433 km while every connected pose stayed sane). Both
+    solvers freeze these slots at their current estimates — the
+    correct answer for poses the graph carries no information about.
+
+    Host-side union-find (numpy, E ~ thousands): runs once per solve
+    on concrete inputs before tracing.
+    """
+    import numpy as _np
+    valid = _np.asarray(g.pose_valid)
+    F = valid.shape[0]
+    parent = _np.arange(F)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    w = _np.asarray(g.edge_w)
+    ei = _np.asarray(g.edge_i)
+    ej = _np.asarray(g.edge_j)
+    for i, j in zip(ei[w > 0], ej[w > 0]):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            parent[ri] = rj
+    if not valid.any():
+        return ~valid
+    root = find(int(_np.argmax(valid)))
+    reach = _np.fromiter((find(s) == root for s in range(F)), bool, F)
+    return valid & ~reach
+
+
 def edge_residuals(poses: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
     """(E, 6) residuals log(Tm^-1 Ti^-1 Tj), zeroed for unused slots."""
     Ti = poses[g.edge_i]
@@ -53,11 +96,19 @@ def edge_residuals(poses: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
     return jnp.where((g.edge_w > 0)[:, None], r, 0.0)
 
 
-@partial(jax.jit, static_argnames=("iters",))
 def optimize_pose_graph(g: PoseGraph, iters: int = 12,
                         fix_first: bool = True
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (optimized poses (F,4,4), cost0, cost1)."""
+    """Returns (optimized poses (F,4,4), cost0, cost1). Poses outside
+    the gauge-connected component are frozen (see frozen_mask)."""
+    return _optimize_dense(g, jnp.asarray(frozen_mask(g)), iters,
+                           fix_first)
+
+
+@partial(jax.jit, static_argnames=("iters", "fix_first"))
+def _optimize_dense(g: PoseGraph, freeze: jnp.ndarray, iters: int = 12,
+                    fix_first: bool = True
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     F = g.poses.shape[0]
 
     def cost(poses):
@@ -86,8 +137,10 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 12,
             _einsum_hi("e, e a p, e a -> e p", w, Ji, r))
         gvec = gvec.at[g.edge_j].add(w[:, None] * r)
 
-        # pin invalid slots and (optionally) the first valid pose
-        pin = (~g.pose_valid).astype(jnp.float32) * 1e6
+        # pin invalid slots, gauge-disconnected slots, and (optionally)
+        # the first valid pose
+        pin = ((~g.pose_valid).astype(jnp.float32) * 1e6
+               + freeze.astype(jnp.float32) * 1e8)
         if fix_first:
             first = jnp.argmax(g.pose_valid)
             pin = pin.at[first].add(1e8)
@@ -109,11 +162,19 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 12,
     return poses1, c0, c1
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters"))
 def optimize_pose_graph_pcg(g: PoseGraph, iters: int = 12,
                             cg_iters: int = 96, fix_first: bool = True
                             ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                        jnp.ndarray]:
+    """PCG variant of optimize_pose_graph (see _optimize_pcg)."""
+    return _optimize_pcg(g, jnp.asarray(frozen_mask(g)), iters,
+                         cg_iters, fix_first)
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters", "fix_first"))
+def _optimize_pcg(g: PoseGraph, freeze: jnp.ndarray, iters: int = 12,
+                  cg_iters: int = 96, fix_first: bool = True
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gauss-Newton with a MATRIX-FREE block-Jacobi-preconditioned CG
     linear solve — the sparse pose-graph solver (g2o ``SparseOptimizer``
     with PCG role) for graphs past the dense (6F)^2 wall.
@@ -145,7 +206,8 @@ def optimize_pose_graph_pcg(g: PoseGraph, iters: int = 12,
     Pi = Pi * (w > 0)[:, None]
     Pj = Pj * (w > 0)[:, None]
 
-    pin = (~g.pose_valid).astype(jnp.float32) * 1e6
+    pin = ((~g.pose_valid).astype(jnp.float32) * 1e6
+           + freeze.astype(jnp.float32) * 1e8)
     if fix_first:
         first = jnp.argmax(g.pose_valid)
         pin = pin.at[first].add(1e8)

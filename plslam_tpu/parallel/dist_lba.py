@@ -297,7 +297,10 @@ def _owner_shard_step_local(problem: lba_mod.LBAProblem, lam,
     idx = jnp.arange(W)
     damp = lam * jnp.maximum(jnp.diagonal(H_cc, axis1=-2, axis2=-1), 1e-3)
     S = S.at[idx, idx].add(damp[..., None] * jnp.eye(6) + 1e-6 * jnp.eye(6))
-    pin = jnp.where(free, 0.0, 1e8)
+    # pin free poses with no residual support too (cost-neutral fp
+    # noise otherwise walks them — see backend.lba._assemble_and_solve)
+    support = jnp.diagonal(H_cc, axis1=-2, axis2=-1).sum(-1)
+    pin = jnp.where(free & (support > 1.0), 0.0, 1e8)
     S = S.at[idx, idx].add(pin[:, None, None] * jnp.eye(6))
     Sm = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
     dxi = -jnp.linalg.solve(Sm, g_red.reshape(-1)).reshape(W, 6)
@@ -306,11 +309,11 @@ def _owner_shard_step_local(problem: lba_mod.LBAProblem, lam,
     # ---- back-substitution: landmark updates STAY on their shard -------
     rhs_p = g_p + _einsum_hi("w p a b, w a -> p b", H_cp, dxi)
     d_pt = -_einsum_hi("p a b, p b -> p a", Hpp_inv, rhs_p)
-    d_pt = jnp.where((jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1) > 0
+    d_pt = jnp.where((jnp.diagonal(Hpp, axis1=-2, axis2=-1).sum(-1) > 1e-2
                       )[:, None], d_pt, 0.0)
     rhs_q = g_q + _einsum_hi("w q a b, w a -> q b", H_cq, dxi)
     d_ep = -_einsum_hi("q a b, q b -> q a", Hqq_inv, rhs_q)
-    d_ep = jnp.where((jnp.diagonal(Hqq, axis1=-2, axis2=-1).sum(-1) > 0
+    d_ep = jnp.where((jnp.diagonal(Hqq, axis1=-2, axis2=-1).sum(-1) > 1e-2
                       )[:, None], d_ep, 0.0)
     return dxi, d_pt, d_ep
 
