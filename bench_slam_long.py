@@ -71,6 +71,11 @@ def main() -> None:
     if os.environ.get("PLSLAM_LONG_SOLVER"):
         cfg = cfg.with_updates({"loop": {
             "pose_graph_solver": os.environ["PLSLAM_LONG_SOLVER"]}})
+    if os.environ.get("PLSLAM_LONG_MAXKFS"):
+        # provisioned variant: capacity sized for the sequence (the
+        # config the eviction warning tells a user to run)
+        cfg = cfg.with_updates({"mapping": {
+            "max_kfs": int(os.environ["PLSLAM_LONG_MAXKFS"])}})
     cam = StereoCamera.from_config(cfg.camera)
 
     # ---- exactly-periodic circuit + world around the camera path --------

@@ -476,6 +476,17 @@ class FusedPLSLAM:
                           f"{int(stats[j, 6])} (frame ~"
                           f"{len(self.trajectory)}) pose |t|={pm:.3g} "
                           "— state corruption upstream of insertion")
+        # whole-snapshot tripwire: the packed block already carries the
+        # full kf_pose array, so ANY corruption (e.g. a window-LBA
+        # catapult of a non-inserted slot) is localized to within one
+        # chunk of when it entered
+        tmags = np.abs(kf_poses[:max(self._next_slot, 1), :3, 3]
+                       ).max(-1)
+        if tmags.size and float(tmags.max()) > 1e3:
+            s = int(np.argmax(tmags))
+            print(f"[fused_slam] WARNING: kf_pose snapshot slot {s} "
+                  f"|t|={tmags.max():.3g} at frame ~"
+                  f"{len(self.trajectory)} — map corrupted this chunk")
         if slots_valid.any():
             self._next_slot = int(stats[slots_valid, 6].max()) + 1
         corrected = None

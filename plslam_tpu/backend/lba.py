@@ -148,7 +148,17 @@ def _robust_sigma(r_pt_norm, ok_pt, r_s, ok_s, r_e, ok_e):
 
 
 def lba_cost(problem: LBAProblem, cam: StereoCamera) -> jnp.ndarray:
-    """Robust total cost (for LM accept/reject)."""
+    """Robust total cost (for LM accept/reject).
+
+    Observations that EXIST (obs_id >= 0) but fail the behind-camera
+    validity gate are charged the t-student saturation cost
+    (dof+1)*sigma^2 instead of vanishing: without the charge, a step
+    that catapults a pose far enough to invalidate all its residuals
+    strictly DECREASES the cost and the LM accept guard embraces it —
+    the round-5 endurance run measured window KFs thrown to 1e8 m
+    through exactly this loophole. With the charge, losing an
+    observation can never beat keeping it at any residual magnitude.
+    """
     r, _, _, ok = _point_rj(problem.kf_pose, problem.pt_pos,
                             problem.obs_pt_uv, problem.obs_pt_disp,
                             problem.obs_pt_id, cam)
@@ -161,8 +171,12 @@ def lba_cost(problem: LBAProblem, cam: StereoCamera) -> jnp.ndarray:
     w_pt = jnp.where(ok, robust.tstudent_weight(rn, sigma), 0.0)
     w_s = jnp.where(oks, robust.tstudent_weight(jnp.abs(rs), sigma), 0.0)
     w_e = jnp.where(oke, robust.tstudent_weight(jnp.abs(re), sigma), 0.0)
+    n_lost = (jnp.sum((problem.obs_pt_id >= 0) & ~ok)
+              + jnp.sum((problem.obs_ln_sid >= 0) & ~oks)
+              + jnp.sum((problem.obs_ln_eid >= 0) & ~oke))
+    lost_penalty = 6.0 * sigma * sigma    # (dof+1) sigma^2 saturation
     return (jnp.sum(w_pt * rn ** 2) + jnp.sum(w_s * rs ** 2)
-            + jnp.sum(w_e * re ** 2))
+            + jnp.sum(w_e * re ** 2) + lost_penalty * n_lost)
 
 
 def _bin_landmark_blocks(obs_id, n_lm: int, c_hh, c_g, c_ch):

@@ -215,11 +215,20 @@ def _shard_residuals(problem: lba_mod.LBAProblem, cam: StereoCamera,
 
 def _shard_cost(problem: lba_mod.LBAProblem, cam: StereoCamera,
                 axis: str):
-    """Robust total cost across shards (LOCAL ids)."""
-    (r, rn, rs, re, *_rest) = _shard_residuals(problem, cam, axis)
-    (ok, oks, oke, w, ws, we) = _rest[6:12]
+    """Robust total cost across shards (LOCAL ids). Mirrors
+    backend.lba.lba_cost exactly, including the lost-observation
+    saturation charge (see there: without it, invalidating residuals by
+    catapulting a pose reads as a cost decrease)."""
+    out = _shard_residuals(problem, cam, axis)
+    rn, rs, re = out[1], out[2], out[3]
+    (ok, oks, oke, w, ws, we) = out[10:16]
+    sigma = out[16]                     # collective scale (same all shards)
+    n_lost = (jnp.sum((problem.obs_pt_id >= 0) & ~ok)
+              + jnp.sum((problem.obs_ln_sid >= 0) & ~oks)
+              + jnp.sum((problem.obs_ln_eid >= 0) & ~oke))
     local = (jnp.sum(w * rn ** 2) + jnp.sum(ws * rs ** 2)
-             + jnp.sum(we * re ** 2))
+             + jnp.sum(we * re ** 2)
+             + 6.0 * sigma * sigma * n_lost)
     return jax.lax.psum(local, axis)
 
 
