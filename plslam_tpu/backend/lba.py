@@ -318,6 +318,23 @@ def _assemble_and_solve(problem: LBAProblem, cam: StereoCamera, lam,
     return dxi, d_pt, d_ep
 
 
+_MAX_POSE_STEP = 1.0      # twist-norm cap per LM iteration (m / rad)
+_MAX_LM_STEP = 10.0       # landmark step cap per LM iteration (m)
+
+
+def _cap_steps(dxi, d_pt, d_ep):
+    """Per-variable trust-region caps (see run_lba.lm_iter): scale any
+    pose twist above _MAX_POSE_STEP / landmark step above _MAX_LM_STEP
+    down to the cap, direction preserved."""
+    n = jnp.linalg.norm(dxi, axis=-1, keepdims=True)
+    dxi = dxi * jnp.minimum(1.0, _MAX_POSE_STEP / jnp.maximum(n, 1e-12))
+    np_ = jnp.linalg.norm(d_pt, axis=-1, keepdims=True)
+    d_pt = d_pt * jnp.minimum(1.0, _MAX_LM_STEP / jnp.maximum(np_, 1e-12))
+    ne = jnp.linalg.norm(d_ep, axis=-1, keepdims=True)
+    d_ep = d_ep * jnp.minimum(1.0, _MAX_LM_STEP / jnp.maximum(ne, 1e-12))
+    return dxi, d_pt, d_ep
+
+
 def H_cc_block_diag(H_cc: jnp.ndarray, W: int) -> jnp.ndarray:
     """(W, 6, 6) per-pose blocks -> (W, W, 6, 6) block-diagonal tensor."""
     out = jnp.zeros((W, W, 6, 6))
@@ -335,6 +352,16 @@ def run_lba(problem: LBAProblem, cam: StereoCamera, cfg: SlamConfig
     def lm_iter(_, carry):
         prob, lam, cost = carry
         dxi, d_pt, d_ep = _assemble_and_solve(prob, cam, lam)
+        # trust-region safeguard: with a SATURATING robust kernel, a
+        # pose whose residuals are all outliers is cost-neutral to
+        # move ANYWHERE (t-student cost is bounded at (dof+1) sigma^2
+        # per residual no matter how absurd the pose), so an
+        # ill-conditioned solve can propose a kilometre step that the
+        # accept guard cannot reject — the round-5 endurance run
+        # measured a window KF at 1e8 m through exactly this. Genuine
+        # LBA corrections are sub-metre per LM iteration; the caps
+        # leave them untouched (ceres-style step-length safeguard).
+        dxi, d_pt, d_ep = _cap_steps(dxi, d_pt, d_ep)
         new_pose = jax.vmap(lambda d, T: lie.mm(lie.exp_se3(d), T))(dxi, prob.kf_pose)
         trial = prob._replace(kf_pose=new_pose,
                               pt_pos=prob.pt_pos + d_pt,

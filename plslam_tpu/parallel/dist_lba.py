@@ -381,6 +381,10 @@ def make_dist_lba_lm(mesh, cam: StereoCamera, iters: int,
         def body(_, carry):
             prob, lam, cost = carry
             dxi, d_pt, d_ep = _owner_shard_step_local(prob, lam, cam, axis)
+            # trust-region caps, identical to the dense loop (see
+            # backend.lba.run_lba: saturating robust kernels make
+            # all-outlier poses cost-neutral to move arbitrarily)
+            dxi, d_pt, d_ep = lba_mod._cap_steps(dxi, d_pt, d_ep)
             new_pose = jax.vmap(
                 lambda d, T: lie.mm(lie.exp_se3(d), T))(dxi, prob.kf_pose)
             trial = prob._replace(kf_pose=new_pose,
