@@ -680,7 +680,13 @@ def fuse_loop_landmarks(state: MapState, slot_a: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg",))
 def cull_landmarks(state: MapState, cfg: SlamConfig) -> MapState:
     """removeBadMapLandmarks parity: drop landmarks that stopped being
-    observed before reaching min_lm_obs observations."""
+    observed before reaching min_lm_obs observations — plus a
+    POOL-PRESSURE tier (config: lm_pool_high_water/lm_pool_evict_frac):
+    past the high water mark the weakest mature landmarks (fewest
+    observations, oldest last-seen; window-recent protected) retire
+    too, so a long sequence can keep mapping new structure instead of
+    silently saturating (see MappingConfig for the measured failure
+    mode)."""
     m = cfg.mapping
     cur = state.n_kfs - 1
     grace = 2  # KFs a landmark may stay unobserved while immature
@@ -688,6 +694,31 @@ def cull_landmarks(state: MapState, cfg: SlamConfig) -> MapState:
               & (state.pt_last_kf < cur - grace))
     bad_ln = (state.ln_valid & (state.ln_nobs < m.min_lm_obs)
               & (state.ln_last_kf < cur - grace))
+
+    span = m.window_kfs + m.fixed_kfs
+
+    def pressure(valid, nobs, last_kf, already_bad):
+        P = valid.shape[0]
+        n_evict = max(int(m.lm_pool_evict_frac * P), 1)
+        occ = jnp.sum((valid & ~already_bad).astype(jnp.int32))
+        over = occ > jnp.asarray(int(m.lm_pool_high_water * P),
+                                 jnp.int32)
+        removable = valid & ~already_bad & (last_kf < cur - span)
+        # weakest first: fewest observations, oldest last-seen breaks
+        # ties (score is maximized by eviction candidates)
+        score = jnp.where(
+            removable,
+            -(nobs.astype(jnp.float32) * (2.0 * P)
+              + last_kf.astype(jnp.float32)), -jnp.inf)
+        vals, idx = jax.lax.top_k(score, n_evict)
+        hit = jnp.zeros((P,), bool).at[idx].set(
+            jnp.isfinite(vals), mode="drop")
+        return jnp.where(over, hit, False)
+
+    bad_pt = bad_pt | pressure(state.pt_valid, state.pt_nobs,
+                               state.pt_last_kf, bad_pt)
+    bad_ln = bad_ln | pressure(state.ln_valid, state.ln_nobs,
+                               state.ln_last_kf, bad_ln)
     # detach every observation of a culled landmark: its slot will be
     # recycled, and a stale obs_pt_lm entry would silently re-bind old
     # KF observations to whatever landmark lands in the slot next

@@ -200,6 +200,17 @@ class MappingConfig:
     lba_inlier_k: float = 2.0
     lba_min_sigma: float = 0.5      # px floor for the outlier gate scale
     min_lm_obs: int = 3             # cull landmarks with fewer obs (ref: min_lm_obs)
+    # landmark-pool pressure culling: when occupancy crosses the high
+    # water mark, ALSO retire the weakest mature landmarks (fewest
+    # observations, then oldest last-seen; window-recent ones
+    # protected) so new structure can keep being mapped. The round-5
+    # endurance run showed the failure mode: with the pool saturated
+    # (~lap 8 of 10), unmatched features silently stop becoming
+    # landmarks and late-sequence accuracy decays 10-30x. The
+    # reference has no equivalent (its std::vector grows unbounded);
+    # this is the fixed-capacity analogue of removeBadMapLandmarks.
+    lm_pool_high_water: float = 0.92
+    lm_pool_evict_frac: float = 0.0625   # 1/16 of the pool per event
     # representative-descriptor + view-direction maintenance (reference:
     # mapFeatures.cpp :: updateAverageDescDir — keep the medoid of the
     # observed descriptors and a mean viewing direction, and gate map->KF
