@@ -24,8 +24,15 @@ chunks. The timed region is identical in kind to bench_slam.py.
 Prints ONE JSON line; recorded next to BENCH_r*.json as the
 reference-scale evidence (round-4 verdict item 1).
 
-Env knobs: LAPS (5), LAP_FRAMES (800), PLSLAM_BENCH_CHUNK (40),
-PLSLAM_LONG_MINENT (keyframe.min_entropy_ratio override).
+Env knobs: LAPS (5), LAP_FRAMES (800), PLSLAM_BENCH_CHUNK (20),
+PLSLAM_LONG_STEP (0.3 m/frame), PLSLAM_LONG_MINENT
+(keyframe.min_entropy_ratio), PLSLAM_LONG_MAXKFS (mapping.max_kfs —
+e.g. 1024 for the provisioned configuration), PLSLAM_LONG_SOLVER
+(pose-graph solver override), PLSLAM_LONG_LCTRS (lc_trs override),
+WARM_LAPS (2), PLSLAM_LONG_DEBUG (npz dump path), PLSLAM_LC_DEBUG
+(staged closure application with per-stage magnitude checks).
+The recorded BENCH_LONG_r05.json pair used: LAPS=10 LAP_FRAMES=400
+PLSLAM_LONG_MINENT=0.89 [PLSLAM_LONG_MAXKFS=1024].
 """
 from __future__ import annotations
 
