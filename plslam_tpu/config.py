@@ -252,6 +252,16 @@ class LoopClosureConfig:
     lc_rot: float = 35.0            # max rotation of the loop correction (deg)
     min_kf_separation: int = 20     # temporal gap before a KF can be a candidate
     consistency_window: int = 3     # consecutive-KF temporal consistency votes
+    # a verified closure whose correction is below BOTH floors skips
+    # the pose-graph solve + map-correction programs: the loop edge
+    # still joins the graph (and duplicate landmarks still fuse), so
+    # no information is lost — it is simply applied at the next
+    # significant solve. On sustained revisits most closures measure
+    # sub-centimetre corrections; solving a 512-1024-slot graph for
+    # them is pure cost (measured: each loop event ~0.3-0.6 s of
+    # programs + fetches on the endurance workload). 0 = always solve.
+    lc_min_correction_t: float = 0.03    # m
+    lc_min_correction_r: float = 0.2     # deg
     # suppress new closures for this many keyframes after one fires
     # (the DBoW2-era standard — e.g. ORB-SLAM's 10-KF lockout): during
     # a sustained revisit every KF is a valid candidate, but re-closing

@@ -546,6 +546,24 @@ class LoopCloser:
             return None
 
         self.loop_edges.append((slot_a, slot_b, T_meas, 2.0))
+        if (t_mag < cfg.loop.lc_min_correction_t
+                and r_mag < cfg.loop.lc_min_correction_r):
+            # negligible correction: the loop edge is recorded (the
+            # next significant solve consumes it) and duplicates still
+            # fuse, but the graph solve + correction programs are
+            # skipped (see LoopClosureConfig.lc_min_correction_t)
+            from plslam_tpu.backend.map import fuse_loop_landmarks
+            with map_handler._lock:
+                state, _ = fuse_loop_landmarks(
+                    map_handler.state, jnp.asarray(slot_a),
+                    jnp.asarray(slot_b), cfg)
+                map_handler.state = state
+            self.n_loops_closed += 1
+            self.probes_since_close = 0
+            self._last_costs = (0.0, 0.0)
+            self.events.append(LoopEvent(
+                slot_a, slot_b, n_inl, err, t_mag, r_mag, 0.0, 0.0))
+            return None
         new_full = self._optimize_graph(map_handler, kf_poses)
         if new_full is not None:
             pm = float(np.abs(new_full[:, :3, 3]).max())
